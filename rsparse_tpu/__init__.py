@@ -1,0 +1,105 @@
+"""rsparse_tpu — a TPU-native sparse direct-solver framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of rsparse
+(RLado/rsparse v1.2.1, Tim Davis's CSparse in Rust): CSC (`Sprs`) and triplet
+(`Trpl`) containers, sparse add/multiply/transpose/gaxpy/norm, dense
+triangular solves, and the three A\\b direct solvers — `cholsol` (up-looking
+Cholesky), `lusol` (left-looking LU with partial pivoting), `qrsol`
+(Householder QR, incl. underdetermined least-squares).
+
+Architecture (SURVEY.md §7):
+  - L1' storage: host numpy CSC builders + immutable device pytrees.
+  - L2' ops: host symbolic plans + jitted device numeric kernels.
+  - L3' symbolic: AMD / etree / postorder / counts / vcount in native C++
+    (host, once per pattern) producing device-ready level schedules.
+  - L4' factorization: level-scheduled device kernels (batched dense
+    triangular solves on the MXU for Cholesky; masked-argmax pivoting for LU).
+  - L5' solvers: `cholsol`/`lusol`/`qrsol` drivers with the reference's exact
+    signatures (order in {-1,0,1,2}, tol; b overwritten in spirit — we return
+    the solution since Python lists aren't mutated through JAX).
+  - L6' distributed: row-partitioned kernels over `jax.sharding.Mesh`.
+"""
+
+from .config import config, enable_x64
+
+enable_x64()  # f64 parity with the reference's tolerances (down to 1e-12)
+
+from .data import Sprs, Trpl, Symb, Nmrc, CSCDevice  # noqa: E402
+from .errors import RsparseError, NotPositiveDefiniteError, NoPivotError  # noqa: E402
+from .ops import (  # noqa: E402
+    add,
+    multiply,
+    transpose,
+    gaxpy,
+    norm,
+    scpmat,
+    scxmat,
+    permute,
+    symperm,
+    ipvec,
+    pvec,
+    pinvert,
+    fkeep,
+    sprs_print,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Sprs",
+    "Trpl",
+    "Symb",
+    "Nmrc",
+    "CSCDevice",
+    "RsparseError",
+    "NotPositiveDefiniteError",
+    "NoPivotError",
+    "add",
+    "multiply",
+    "transpose",
+    "gaxpy",
+    "norm",
+    "scpmat",
+    "scxmat",
+    "permute",
+    "symperm",
+    "ipvec",
+    "pvec",
+    "pinvert",
+    "fkeep",
+    "sprs_print",
+    "config",
+    # solvers are appended below once the modules import
+]
+
+
+def _late_imports():
+    """Solver/symbolic layers import lazily to keep base import light."""
+
+
+from .solve import (  # noqa: E402
+    lsolve,
+    ltsolve,
+    usolve,
+    utsolve,
+    cholsol,
+    lusol,
+    qrsol,
+)
+from .symbolic import schol, sqr  # noqa: E402
+from .factor import chol, lu, qr  # noqa: E402
+
+__all__ += [
+    "lsolve",
+    "ltsolve",
+    "usolve",
+    "utsolve",
+    "cholsol",
+    "lusol",
+    "qrsol",
+    "schol",
+    "sqr",
+    "chol",
+    "lu",
+    "qr",
+]

@@ -1,0 +1,41 @@
+"""Global configuration for rsparse_tpu.
+
+The reference library (rsparse, /root/reference/src/lib.rs) exposes exactly two
+behavioral knobs — `order: i8` and `tol` — as positional parameters. We keep
+those on the public solver APIs and add a small config layer for device
+options (dtype, backend selection, level-batch sizing), per SURVEY.md §5
+("Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass
+class Config:
+    # Value dtype used on device. float64 matches the reference's f64 test
+    # tolerances (down to 1e-12 in allsol_1); float32 is offered for
+    # MXU-speed paths (factor in f32 + iterative refinement).
+    dtype: str = "float64"
+    # Index dtype on device. int32 suffices for n, nnz < 2**31.
+    index_dtype: str = "int32"
+    # Numeric backend: "device" runs factorization/solves as JAX/XLA/Pallas
+    # kernels; "host" runs the native C++ fast path (useful as an oracle and
+    # for tiny latency-bound problems). "auto" picks device.
+    backend: str = os.environ.get("RSPARSE_TPU_BACKEND", "device")
+    # Use Pallas kernels where available (TPU only); falls back to XLA ops.
+    use_pallas: bool = os.environ.get("RSPARSE_TPU_PALLAS", "0") == "1"
+    # Maximum padded batch width for level-scheduled factorization kernels.
+    level_batch: int = 1024
+
+
+config = Config()
+
+
+def enable_x64() -> None:
+    """Enable 64-bit values in JAX (required for f64 parity with rsparse)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,78 @@
+"""L4' numeric factorization: chol / lu / qr.
+
+Dispatch between the device kernels (JAX/XLA, level-scheduled — the primary
+TPU path) and the native host fast path (C++, reference-exact algorithms,
+used for `config.backend == "host"` and as the oracle in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import config
+from ..data import Nmrc, Sprs, Symb
+from ..errors import NoPivotError, NotPositiveDefiniteError
+from .. import ops
+from ..symbolic import native
+
+from .chol_device import chol_device
+from .qr_device import qr_device
+from .lu_device import lu_device
+
+__all__ = ["chol", "lu", "qr"]
+
+
+def chol(a: Sprs, s: Symb) -> Nmrc:
+    """L = chol(A) given `schol` analysis (reference src/lib.rs:278-337).
+
+    Raises NotPositiveDefiniteError if A is not SPD.
+    """
+    n = a.n
+    c = ops.symperm(a, s.pinv) if s.pinv is not None else a
+    if config.backend == "host":
+        Lp, Li, Lx = native.chol_numeric(n, c.p, c.i[: c.nnz()], c.x[: c.nnz()], s.parent, s.cp)
+    else:
+        Lp, Li, Lx = chol_device(c, s)
+    nm = Nmrc()
+    nm.l = Sprs(int(s.cp[n]), n, n, Lp, Li, Lx)
+    return nm
+
+
+def lu(a: Sprs, s: Symb, tol: float) -> Nmrc:
+    """(L,U,pinv) = lu(A) given `sqr` analysis (reference src/lib.rs:519-622).
+
+    Raises NoPivotError if no pivot can be found.
+    """
+    n = a.n
+    if config.backend == "host":
+        Lp, Li, Lx, Up, Ui, Ux, pinv = native.lu_numeric(
+            n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol, s.lnz, s.unz
+        )
+    else:
+        Lp, Li, Lx, Up, Ui, Ux, pinv = lu_device(a, s, tol)
+    nm = Nmrc()
+    nm.l = Sprs(int(Lp[n]), n, n, Lp, Li, Lx)
+    nm.u = Sprs(int(Up[n]), n, n, Up, Ui, Ux)
+    nm.pinv = pinv
+    s.lnz = int(Lp[n])  # reference mutates s with the actual counts
+    s.unz = int(Up[n])
+    return nm
+
+
+def qr(a: Sprs, s: Symb) -> Nmrc:
+    """(V,beta,R) = qr(A) given `sqr(qr=True)` analysis
+    (reference src/lib.rs:788-877). V is returned in `l`, R in `u`, betas in
+    `b`, matching the reference's Nmrc layout (src/data.rs:1064-1074)."""
+    n = a.n
+    if config.backend == "host":
+        Vp, Vi, Vx, Rp, Ri, Rx, beta = native.qr_numeric(
+            a.m, n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q,
+            s.parent, s.pinv, s.m2, s.lnz + 8, s.unz + 8,
+        )
+    else:
+        Vp, Vi, Vx, Rp, Ri, Rx, beta = qr_device(a, s)
+    nm = Nmrc()
+    nm.l = Sprs(int(Vp[n]), s.m2, n, Vp, Vi, Vx)
+    nm.u = Sprs(int(Rp[n]), s.m2, n, Rp, Ri, Rx)
+    nm.b = beta
+    return nm

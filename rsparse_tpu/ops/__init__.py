@@ -1,0 +1,184 @@
+"""L2 sparse primitive ops: add, multiply (SpGEMM), transpose, gaxpy, norm,
+scalar ops, permute/symperm, ipvec/pvec, fkeep, sprs_print.
+
+Public API parity with the reference crate root (src/lib.rs) — same names,
+same semantics — but implemented TPU-first: host symbolic plan (ops.plan) +
+device numeric kernel (ops.device). See SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..data import Sprs
+from . import device as dev
+from . import plan as _plan
+
+__all__ = [
+    "add",
+    "multiply",
+    "transpose",
+    "gaxpy",
+    "norm",
+    "scpmat",
+    "scxmat",
+    "permute",
+    "symperm",
+    "ipvec",
+    "pvec",
+    "pinvert",
+    "fkeep",
+    "sprs_print",
+]
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def add(a: Sprs, b: Sprs, alpha: float = 1.0, beta: float = 1.0) -> Sprs:
+    """C = alpha*A + beta*B (reference src/lib.rs:247-271).
+
+    Output pattern is the structural union; rows within each column are
+    sorted ascending (canonical form — the reference leaves scatter order).
+    """
+    jnp = _jnp()
+    p = _plan.add_plan(a, b)
+    ax = jnp.asarray(a.x[: a.nnz()])
+    bx = jnp.asarray(b.x[: b.nnz()])
+    cx = dev.add_values(ax, bx, jnp.asarray(alpha, ax.dtype), jnp.asarray(beta, ax.dtype), jnp.asarray(p.seg), p.nnz)
+    return Sprs(p.nnz, p.m, p.n, p.out_p, p.out_i, np.asarray(cx))
+
+
+def multiply(a: Sprs, b: Sprs) -> Sprs:
+    """C = A*B, ESC SpGEMM (reference Gustavson: src/lib.rs:713-748)."""
+    jnp = _jnp()
+    p = _plan.spgemm_plan(a, b)
+    ax = jnp.asarray(a.x[: a.nnz()])
+    bx = jnp.asarray(b.x[: b.nnz()])
+    cx = dev.spgemm_values(ax, bx, jnp.asarray(p.a_idx), jnp.asarray(p.b_idx), jnp.asarray(p.seg), p.nnz)
+    return Sprs(p.nnz, p.m, p.n, p.out_p, p.out_i, np.asarray(cx))
+
+
+def transpose(a: Sprs) -> Sprs:
+    """C = A' by stable counting sort (reference src/lib.rs:1178-1197)."""
+    jnp = _jnp()
+    p = _plan.transpose_plan(a)
+    cx = dev.gather_values(jnp.asarray(a.x[: a.nnz()]), jnp.asarray(p.perm))
+    return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i, np.asarray(cx))
+
+
+def gaxpy(a: Sprs, x, y) -> list:
+    """r = A*x + y (reference src/lib.rs:411-421)."""
+    jnp = _jnp()
+    nz = a.nnz()
+    cols = _plan.col_ids(a.p, a.n)
+    r = dev.gaxpy(
+        jnp.asarray(a.x[:nz]),
+        jnp.asarray(a.i[:nz]),
+        jnp.asarray(cols),
+        jnp.asarray(np.asarray(x, dtype=a.x.dtype)),
+        jnp.asarray(np.asarray(y, dtype=a.x.dtype)),
+        a.m,
+    )
+    return list(np.asarray(r))
+
+
+def norm(a: Sprs) -> float:
+    """1-norm (max column abs-sum), reference src/lib.rs:771-782."""
+    jnp = _jnp()
+    if a.n == 0 or a.nnz() == 0:
+        return 0.0
+    cols = _plan.col_ids(a.p, a.n)
+    return float(dev.norm1(jnp.asarray(a.x[: a.nnz()]), jnp.asarray(cols), a.n))
+
+
+def scpmat(alpha: float, a: Sprs) -> Sprs:
+    """C = alpha + A on stored entries (reference src/lib.rs:1019-1029)."""
+    jnp = _jnp()
+    cx = dev.scpmat_values(jnp.asarray(alpha, a.x.dtype), jnp.asarray(a.x))
+    return Sprs(a.nzmax, a.m, a.n, a.p.copy(), a.i.copy(), np.asarray(cx))
+
+
+def scxmat(alpha: float, a: Sprs) -> Sprs:
+    """C = alpha * A on stored entries (reference src/lib.rs:1062-1072)."""
+    jnp = _jnp()
+    cx = dev.scxmat_values(jnp.asarray(alpha, a.x.dtype), jnp.asarray(a.x))
+    return Sprs(a.nzmax, a.m, a.n, a.p.copy(), a.i.copy(), np.asarray(cx))
+
+
+def permute(a: Sprs, pinv: Optional[np.ndarray], q: Optional[np.ndarray]) -> Sprs:
+    """C = A(P,Q) (reference src/lib.rs:2163-2192)."""
+    jnp = _jnp()
+    p = _plan.permute_plan(a, pinv, q)
+    cx = dev.gather_values(jnp.asarray(a.x[: a.nnz()]), jnp.asarray(p.perm))
+    return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i, np.asarray(cx))
+
+
+def symperm(a: Sprs, pinv: Optional[np.ndarray]) -> Sprs:
+    """C = A(p,p) of the upper-triangular part (reference src/lib.rs:2369-2408)."""
+    jnp = _jnp()
+    p = _plan.symperm_plan(a, pinv)
+    cx = dev.gather_values(jnp.asarray(a.x[: a.nnz()]), jnp.asarray(p.perm))
+    return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i, np.asarray(cx))
+
+
+def ipvec(n: int, p: Optional[np.ndarray], b, x) -> None:
+    """x(P) = b (reference src/lib.rs:2151-2159); writes into x in place."""
+    b = np.asarray(b)
+    if p is not None:
+        x[np.asarray(p[:n], dtype=np.int64)] = b[:n]
+    else:
+        x[:n] = b[:n]
+
+
+def pvec(n: int, p: Optional[np.ndarray], b, x) -> None:
+    """x = b(P) (reference src/lib.rs:2244-2251); writes into x in place."""
+    b = np.asarray(b)
+    if p is not None:
+        x[:n] = b[np.asarray(p[:n], dtype=np.int64)]
+    else:
+        x[:n] = b[:n]
+
+
+def pinvert(p: Optional[np.ndarray], n: int) -> Optional[np.ndarray]:
+    """Pinv = P' (reference src/lib.rs:2196-2209); None = identity."""
+    if p is None:
+        return None
+    pinv = np.zeros(n, dtype=np.int64)
+    pinv[np.asarray(p[:n], dtype=np.int64)] = np.arange(n)
+    return pinv
+
+
+def fkeep(a: Sprs, f: Callable[[int, int, float], bool]) -> int:
+    """In-place filter of entries by predicate (reference src/lib.rs:2075-2095)."""
+    nz = a.nnz()
+    rows = a.i[:nz]
+    cols = _plan.col_ids(a.p, a.n)
+    keep = np.fromiter(
+        (f(int(rows[k]), int(cols[k]), float(a.x[k])) for k in range(nz)),
+        dtype=bool,
+        count=nz,
+    )
+    kept_before = np.concatenate([[0], np.cumsum(keep)])
+    a.p = kept_before[a.p[: a.n + 1]].astype(np.int64)
+    a.i = a.i[:nz][keep]
+    a.x = a.x[:nz][keep]
+    a.nzmax = int(a.x.size)
+    return int(a.p[a.n])
+
+
+def sprs_print(a: Sprs, brief: bool = False) -> None:
+    """Debug pretty-printer (reference src/lib.rs:1076-1104)."""
+    print(f"{a.m}-by-{a.n}, nzmax: {a.nzmax} nnz: {a.p[a.n]}, 1-norm: {norm(a)}")
+    for j in range(a.n):
+        print(f"      col {j} : locations {a.p[j]} to {a.p[j + 1] - 1}")
+        for q in range(int(a.p[j]), int(a.p[j + 1])):
+            print(f"            {a.i[q]} : {a.x[q]}")
+            if brief and q > 20:
+                print("  ...")
+                return

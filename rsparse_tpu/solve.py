@@ -1,0 +1,345 @@
+"""L5' solvers: dense-RHS triangular solves + the cholsol/lusol/qrsol drivers.
+
+Triangular solves are the north-star SpTRSV workload (BASELINE.json). The
+reference versions are strictly sequential column sweeps
+(lsolve/ltsolve/usolve/utsolve, reference src/lib.rs:464-471, 505-512,
+1230-1237, 1271-1278). The TPU design converts the column DAG into *level
+sets* (host, native C++) and sweeps one level per step on device — all
+columns within a level proceed in parallel as fused gather/scatter ops, with
+a single `lax.fori_loop` over levels and O(nnz) flattened static schedule
+arrays (no per-column padding blow-up).
+
+Conventions preserved from the reference:
+  - L: the diagonal is the FIRST entry of each column (src/lib.rs:425-427).
+  - U: the diagonal is the LAST entry of each column (src/lib.rs:1232).
+  - x := solution in place; our Python API also returns x.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from .config import config
+from .data import Sprs, Symb
+from . import ops
+from .ops.plan import col_ids
+from .symbolic import native
+
+__all__ = ["lsolve", "ltsolve", "usolve", "utsolve", "cholsol", "lusol", "qrsol", "happly_dense"]
+
+
+# ---------------------------------------------------------------------------
+# Level-scheduled SpTRSV plans
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TriPlan:
+    """Flattened level schedule for one triangular matrix + solve kind."""
+
+    n: int
+    nlev: int
+    emax: int  # max off-diagonal entries in any level
+    wmax: int  # max columns in any level
+    # flattened, sorted by level (host int32 -> device on first use)
+    ent_pos: np.ndarray  # position of entry in T.x
+    ent_row: np.ndarray  # row index of entry
+    ent_col: np.ndarray  # column of entry
+    ent_slot: np.ndarray  # column slot within its level (gather kinds)
+    ent_off: np.ndarray  # [nlev+1] level offsets into ent_*
+    col_id: np.ndarray  # columns sorted by level
+    col_diag: np.ndarray  # diag position in T.x per sorted column
+    col_off: np.ndarray  # [nlev+1] level offsets into col_*
+
+
+def tri_plan(t: Sprs, kind: int) -> TriPlan:
+    """kind: 0=lsolve, 1=usolve (scatter form), 2=ltsolve, 3=utsolve (gather)."""
+    n = t.n
+    nz = t.nnz()
+    lev = native.tri_levels(n, t.p, t.i[:nz], kind)
+    nlev = int(lev.max()) + 1 if n else 1
+    corder = np.argsort(lev, kind="stable")
+    col_off = np.zeros(nlev + 1, dtype=np.int64)
+    np.cumsum(np.bincount(lev, minlength=nlev), out=col_off[1:])
+    lower_diag = kind in (0, 2)  # diag first for L, last for U
+    diag_pos = t.p[:-1] if lower_diag else t.p[1:] - 1
+    col_diag = diag_pos[corder]
+    # off-diagonal entries, grouped by the level of their column
+    cols = col_ids(t.p, n)
+    pos = np.arange(nz, dtype=np.int64)
+    offd = np.ones(nz, dtype=bool)
+    offd[diag_pos] = False
+    pos = pos[offd]
+    ecols = cols[offd]
+    erows = t.i[:nz][offd]
+    elev = lev[ecols]
+    eorder = np.argsort(elev, kind="stable")
+    ent_off = np.zeros(nlev + 1, dtype=np.int64)
+    np.cumsum(np.bincount(elev, minlength=nlev), out=ent_off[1:])
+    # slot of each entry's column within its level (for gather-form kinds)
+    slot_of_col = np.empty(n, dtype=np.int64)
+    slot_of_col[corder] = np.arange(n) - np.repeat(col_off[:-1], np.diff(col_off))
+    emax = int(np.diff(ent_off).max()) if nlev and nz > n else 0
+    wmax = int(np.diff(col_off).max()) if n else 0
+    return TriPlan(
+        n=n,
+        nlev=nlev,
+        emax=max(emax, 1),
+        wmax=max(wmax, 1),
+        ent_pos=pos[eorder].astype(np.int32),
+        ent_row=erows[eorder].astype(np.int32),
+        ent_col=ecols[eorder].astype(np.int32),
+        ent_slot=slot_of_col[ecols[eorder]].astype(np.int32),
+        ent_off=ent_off.astype(np.int32),
+        col_id=corder.astype(np.int32),
+        col_diag=col_diag.astype(np.int32),
+        col_off=col_off.astype(np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device sweeps
+# ---------------------------------------------------------------------------
+
+
+def _window(flat, off, size, fill):
+    """Gather a fixed-size masked window [off, off+count) from a flat array."""
+    import jax.numpy as jnp
+    import jax
+
+    idx = jax.lax.iota(jnp.int32, size)
+    take = jnp.clip(off + idx, 0, max(flat.shape[0] - 1, 0))
+    vals = flat[take] if flat.shape[0] else jnp.full((size,), fill, flat.dtype)
+    return vals, idx
+
+
+@partial(
+    __import__("jax").jit,
+    static_argnames=("nlev", "emax", "wmax", "n", "scatter_form"),
+)
+def _tri_sweep(
+    tx,
+    x,
+    ent_pos,
+    ent_row,
+    ent_col,
+    ent_slot,
+    ent_off,
+    col_id,
+    col_diag,
+    col_off,
+    nlev: int,
+    emax: int,
+    wmax: int,
+    n: int,
+    scatter_form: bool,
+):
+    import jax
+    import jax.numpy as jnp
+
+    xpad = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])  # garbage slot n
+
+    def body(lev, xp):
+        co = col_off[lev]
+        ccnt = col_off[lev + 1] - co
+        cidx = jax.lax.iota(jnp.int32, wmax)
+        cvalid = cidx < ccnt
+        csafe = jnp.clip(co + cidx, 0, col_id.shape[0] - 1)
+        jcols = jnp.where(cvalid, col_id[csafe], n)
+        dpos = jnp.clip(col_diag[csafe], 0, tx.shape[0] - 1)
+        dvals = jnp.where(cvalid, tx[dpos], jnp.ones((), tx.dtype))
+
+        eo = ent_off[lev]
+        ecnt = ent_off[lev + 1] - eo
+        eidx = jax.lax.iota(jnp.int32, emax)
+        evalid = eidx < ecnt
+        esafe = jnp.clip(eo + eidx, 0, max(ent_pos.shape[0] - 1, 0))
+        if ent_pos.shape[0] == 0:
+            evals = jnp.zeros((emax,), tx.dtype)
+            erows = jnp.full((emax,), n, jnp.int32)
+            ecols = jnp.full((emax,), n, jnp.int32)
+            eslot = jnp.zeros((emax,), jnp.int32)
+        else:
+            evals = jnp.where(evalid, tx[ent_pos[esafe]], jnp.zeros((), tx.dtype))
+            erows = jnp.where(evalid, ent_row[esafe], n)
+            ecols = jnp.where(evalid, ent_col[esafe], n)
+            eslot = jnp.where(evalid, ent_slot[esafe], 0)
+
+        if scatter_form:
+            # x[j] /= diag, then x[rows] -= val * x[j]
+            xj = xp[jcols] / dvals
+            xp = xp.at[jcols].set(jnp.where(cvalid, xj, xp[jcols]))
+            upd = evals * xp[ecols]
+            xp = xp.at[erows].add(-upd)
+        else:
+            # x[j] = (x[j] - sum(val * x[rows])) / diag
+            contrib = jax.ops.segment_sum(evals * xp[erows], eslot, num_segments=wmax)
+            xj = (xp[jcols] - contrib) / dvals
+            xp = xp.at[jcols].set(jnp.where(cvalid, xj, xp[jcols]))
+        return xp
+
+    xpad = jax.lax.fori_loop(0, nlev, body, xpad)
+    return xpad[:n]
+
+
+def _tri_solve(t: Sprs, x, kind: int, plan: Optional[TriPlan] = None):
+    import jax.numpy as jnp
+
+    if config.backend == "host":
+        xv = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+        nz = t.nnz()
+        fn = [native.lsolve_host, native.usolve_host, native.ltsolve_host, native.utsolve_host][kind]
+        fn(t.n, t.p, t.i[:nz], t.x[:nz], xv)
+        return xv
+    p = plan or tri_plan(t, kind)
+    out = _tri_sweep(
+        jnp.asarray(t.x[: t.nnz()]),
+        jnp.asarray(np.asarray(x, dtype=t.x.dtype)),
+        jnp.asarray(p.ent_pos),
+        jnp.asarray(p.ent_row),
+        jnp.asarray(p.ent_col),
+        jnp.asarray(p.ent_slot),
+        jnp.asarray(p.ent_off),
+        jnp.asarray(p.col_id),
+        jnp.asarray(p.col_diag),
+        jnp.asarray(p.col_off),
+        p.nlev,
+        p.emax,
+        p.wmax,
+        p.n,
+        kind in (0, 1),
+    )
+    return np.array(out)  # writable host copy
+
+
+def _writeback(x_obj, sol: np.ndarray):
+    """Mirror the reference's in-place overwrite of b where possible."""
+    if isinstance(x_obj, list):
+        x_obj[: len(sol)] = [float(v) for v in sol]
+    elif isinstance(x_obj, np.ndarray) and x_obj.flags.writeable:
+        x_obj[: len(sol)] = sol
+    return x_obj if isinstance(x_obj, (list, np.ndarray)) else sol
+
+
+def lsolve(l: Sprs, x):
+    """Solve Lx=b, diag first entry per column (reference src/lib.rs:464-471)."""
+    sol = _tri_solve(l, x, 0)
+    _writeback(x, sol)
+    return sol
+
+
+def ltsolve(l: Sprs, x):
+    """Solve L'x=b (reference src/lib.rs:505-512)."""
+    sol = _tri_solve(l, x, 2)
+    _writeback(x, sol)
+    return sol
+
+
+def usolve(u: Sprs, x):
+    """Solve Ux=b, diag last entry per column (reference src/lib.rs:1230-1237)."""
+    sol = _tri_solve(u, x, 1)
+    _writeback(x, sol)
+    return sol
+
+
+def utsolve(u: Sprs, x):
+    """Solve U'x=b (reference src/lib.rs:1271-1278)."""
+    sol = _tri_solve(u, x, 3)
+    _writeback(x, sol)
+    return sol
+
+
+# ---------------------------------------------------------------------------
+# Householder application (dense RHS) — used by qrsol
+# ---------------------------------------------------------------------------
+
+
+def happly_dense(v: Sprs, k: int, beta: float, x: np.ndarray) -> None:
+    """x -= v * (beta * v'x) for the k-th sparse Householder vector
+    (reference src/lib.rs:2099-2111). Host version; the device chain lives in
+    factor.qr."""
+    lo, hi = int(v.p[k]), int(v.p[k + 1])
+    rows = v.i[lo:hi]
+    tau = beta * float(np.dot(v.x[lo:hi], x[rows]))
+    x[rows] -= v.x[lo:hi] * tau
+
+
+# ---------------------------------------------------------------------------
+# A\b drivers (reference src/lib.rs:377-389, 672-683, 927-956)
+# ---------------------------------------------------------------------------
+
+
+def cholsol(a: Sprs, b, order: int = 0):
+    """x = A\\b for SPD A via Cholesky; b overwritten with the solution."""
+    from .factor import chol
+    from .symbolic import schol
+
+    n = a.n
+    s = schol(a, order)
+    nm = chol(a, s)
+    x = np.zeros(n, dtype=np.float64)
+    bb = np.asarray(b, dtype=np.float64)
+    ops.ipvec(n, s.pinv, bb, x)  # x = P*b
+    x = lsolve(nm.l, x)  # x = L\x
+    x = ltsolve(nm.l, x)  # x = L'\x
+    out = np.zeros(n, dtype=np.float64)
+    ops.pvec(n, s.pinv, x, out)  # b = P'*x
+    _writeback(b, out)
+    return out
+
+
+def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6):
+    """x = A\\b via LU with partial pivoting; b overwritten with the solution."""
+    from .factor import lu
+    from .symbolic import sqr
+
+    n = a.n
+    s = sqr(a, order, False)
+    nm = lu(a, s, tol)
+    x = np.zeros(n, dtype=np.float64)
+    bb = np.asarray(b, dtype=np.float64)
+    ops.ipvec(n, nm.pinv, bb, x)  # x = P*b
+    x = lsolve(nm.l, x)  # x = L\x
+    x = usolve(nm.u, x)  # x = U\x
+    out = np.zeros(n, dtype=np.float64)
+    ops.ipvec(n, s.q, x, out)  # b = Q*x
+    _writeback(b, out)
+    return out
+
+
+def qrsol(a: Sprs, b, order: int = 2):
+    """x = A\\b via QR; handles overdetermined (least-squares) and
+    underdetermined (minimum-norm via QR of A') systems
+    (reference src/lib.rs:927-956)."""
+    from .factor import qr
+    from .symbolic import sqr
+
+    n, m = a.n, a.m
+    bb = np.asarray(b, dtype=np.float64)
+    if m >= n:
+        s = sqr(a, order, True)
+        nm = qr(a, s)
+        x = np.zeros(s.m2, dtype=np.float64)
+        ops.ipvec(m, s.pinv, bb[:m], x)  # x(0:m-1) = P*b
+        for k in range(n):
+            happly_dense(nm.l, k, float(nm.b[k]), x)
+        x[:n] = usolve(nm.u, x[:n])  # x = R\x
+        out = np.zeros(n, dtype=np.float64)
+        ops.ipvec(n, s.q, x, out)  # b(0:n-1) = Q*x
+    else:
+        at = ops.transpose(a)  # underdetermined: QR of A'
+        s = sqr(at, order, True)
+        nm = qr(at, s)
+        x = np.zeros(s.m2, dtype=np.float64)
+        ops.pvec(m, s.q, bb, x)  # x = Q'*b
+        x[:m] = utsolve(nm.u, x[:m])  # x = R'\x
+        for k in range(m - 1, -1, -1):
+            happly_dense(nm.l, k, float(nm.b[k]), x)
+        out = np.zeros(n, dtype=np.float64)
+        ops.pvec(n, s.pinv, x, out)  # b = P'*x
+    _writeback(b, out)
+    return out

@@ -1,0 +1,27 @@
+"""Test harness configuration.
+
+Runs the whole suite on a virtual 8-device CPU mesh (SURVEY.md §4: the
+reference has no multi-node story; we validate multi-chip sharding on
+`xla_force_host_platform_device_count=8` per the build contract). Bench runs
+separately on real TPU hardware (bench.py).
+"""
+
+import os
+
+# Must be set before the CPU backend initializes.
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# The axon TPU plugin (sitecustomize) force-registers itself; override here.
+jax.config.update("jax_platforms", "cpu")
+
+ASSETS = "/root/reference/tests/assets"
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()}, devices: {jax.local_device_count()}"
