@@ -1056,4 +1056,15 @@ void rt_tri_levels(i64 n, const i64* Tp, const i64* Ti, int kind, i64* level) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Host sequential SpMV r = A*x + y (reference gaxpy, src/lib.rs:411-421).
+// Bench denominator: the reference's exact column-major accumulate loop.
+// ---------------------------------------------------------------------------
+void rt_gaxpy(i64 m, i64 n, const i64* Ap, const i64* Ai, const double* Ax,
+              const double* x, const double* y, double* r) {
+  for (i64 i = 0; i < m; i++) r[i] = y[i];
+  for (i64 j = 0; j < n; j++)
+    for (i64 q = Ap[j]; q < Ap[j + 1]; q++) r[Ai[q]] += Ax[q] * x[j];
+}
+
 }  // extern "C"

@@ -1,0 +1,222 @@
+"""High-performance SpMV: DIA (diagonal) format with a Pallas TPU kernel.
+
+Why DIA: arbitrary per-element gathers/scatters are VPU-hostile on TPU (the
+XLA lowering of `segment_sum`-style SpMV serializes; measured ~0.07 Gnnz/s
+on a 5.2M-nnz Laplacian vs ~4 Gnnz/s for this kernel on the same chip). The
+TPU-native shape for banded/structured sparsity is *diagonal* storage:
+
+    r[i] = sum_d  diag_d[i] * x[i - off_d]
+
+i.e. K elementwise multiply-adds against statically shifted views of x —
+pure VPU work with perfectly coalesced HBM streams. Shifts are decomposed
+into sublane rolls (off // 128) + lane rolls (off % 128) with an iota select
+for the carry, because Mosaic only supports 2-D [sublane, lane] vectors.
+
+The reference's gaxpy (src/lib.rs:411-421) is a sequential column-major
+accumulate; `ops.gaxpy` keeps those exact semantics, while `DiaPlan`/`spmv`
+is the performance path for iterative use (many SpMVs against one pattern).
+Matrices whose pattern is not predominantly diagonal (|offsets| > max_diags)
+fall back to the segment-sum kernel.
+
+Layout: x and each diagonal are stored as [R, 128] tiles (R = ceil(n/128),
+padded); the kernel grids over row tiles with x resident in VMEM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+from ..data import Sprs
+from .plan import col_ids
+
+__all__ = ["DiaPlan", "dia_plan", "spmv", "spmv_fn"]
+
+_LANE = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class DiaPlan:
+    """Host-built diagonal-format plan for one sparsity pattern."""
+
+    n: int  # logical vector length (square matrix assumed: m == n)
+    m: int
+    rr: int  # padded row-tiles: rr * 128 >= max(m, n)
+    offsets: tuple  # static python ints, ascending
+    dia: np.ndarray  # [K, rr, 128] float — diag d stored at row index i
+    pad_rows: int  # halo rows on each side of x (multiple of 8)
+    tile_rows: int  # grid tile height (divides rr)
+    # COO remainder for entries off the selected diagonals (None if empty)
+    rem_vals: Optional[np.ndarray]
+    rem_rows: Optional[np.ndarray]
+    rem_cols: Optional[np.ndarray]
+
+
+def dia_plan(a: Sprs, max_diags: int = 48, dtype=np.float32) -> DiaPlan:
+    """Extract diagonal structure; entries on rare diagonals (beyond the
+    `max_diags` most populated) go to a COO remainder handled by segment-sum.
+    """
+    nz = a.nnz()
+    rows = a.i[:nz].astype(np.int64)
+    cols = col_ids(a.p, a.n)
+    vals = a.x[:nz]
+    offs = rows - cols
+    uoff, counts = np.unique(offs, return_counts=True)
+    if len(uoff) > max_diags:
+        keep_offs = set(uoff[np.argsort(-counts)[:max_diags]].tolist())
+        keep = np.fromiter((o in keep_offs for o in offs), bool, nz)
+    else:
+        keep = np.ones(nz, bool)
+    sel_off = np.unique(offs[keep])
+    K = len(sel_off)
+    dim = max(a.m, a.n)
+    rr = -(-dim // _LANE)
+    tile_rows = 64
+    while rr % tile_rows:
+        tile_rows //= 2
+    maxoff = int(np.abs(sel_off).max()) if K else 0
+    pad_rows = max(8, (-(-(maxoff) // _LANE) + 7) // 8 * 8)
+    dia = np.zeros((K, rr * _LANE), dtype)
+    off_idx = {int(o): k for k, o in enumerate(sel_off)}
+    kk = np.fromiter((off_idx[int(o)] for o in offs[keep]), np.int64, int(keep.sum()))
+    dia[kk, rows[keep]] = vals[keep]
+    rem = ~keep
+    return DiaPlan(
+        n=a.n,
+        m=a.m,
+        rr=rr,
+        offsets=tuple(int(o) for o in sel_off),
+        dia=dia.reshape(K, rr, _LANE),
+        pad_rows=pad_rows,
+        tile_rows=tile_rows,
+        rem_vals=vals[rem].astype(dtype) if rem.any() else None,
+        rem_rows=rows[rem].astype(np.int32) if rem.any() else None,
+        rem_cols=cols[rem].astype(np.int32) if rem.any() else None,
+    )
+
+
+def _flat_shift(w, o: int, wr: int):
+    """out[row, lane] = w_flat[row*128 + lane - o] (rows away from wrap)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, r = divmod(o, _LANE)
+    # np.int32: under jax_enable_x64 a bare python int lowers to an i64
+    # constant, which tpu.dynamic_rotate rejects.
+    A = pltpu.roll(w, np.int32(q % wr), 0)
+    if r == 0:
+        return A
+    B = pltpu.roll(w, np.int32((q + 1) % wr), 0)
+    A = pltpu.roll(A, np.int32(r), 1)
+    B = pltpu.roll(B, np.int32(r), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    return jnp.where(lane >= r, A, B)
+
+
+@functools.lru_cache(maxsize=64)
+def _dia_kernel_tpu(offsets: tuple, rr: int, pr: int, tr: int, dtype_name: str):
+    """Build the jitted pallas SpMV for one (offsets, shape) signature."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = len(offsets)
+    wr = tr + 2 * pr
+    G = rr // tr
+    dt = jnp.dtype(dtype_name)
+
+    def kernel(d_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        base = pl.multiple_of(i * tr, 8)
+        w = x_ref[pl.ds(base, wr), :]
+        acc = jnp.zeros((tr, _LANE), dt)
+        for k, o in enumerate(offsets):
+            acc = acc + d_ref[k] * _flat_shift(w, o, wr)[pr : pr + tr, :]
+        o_ref[:] = acc
+
+    @jax.jit
+    def run(dia, xpad):
+        return pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((K, tr, _LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tr, _LANE), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rr, _LANE), dt),
+        )(dia, xpad)
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _dia_kernel_xla(offsets: tuple, rr: int, pr: int, dtype_name: str):
+    """Portable fallback (CPU tests / non-TPU): static slices of padded x."""
+    import jax
+    import jax.numpy as jnp
+
+    n_el = rr * _LANE
+    pad = pr * _LANE
+
+    @jax.jit
+    def run(dia, xpad):
+        flat = xpad.reshape(-1)
+        acc = jnp.zeros((n_el,), flat.dtype)
+        for k, o in enumerate(offsets):
+            acc = acc + dia[k].reshape(-1) * jax.lax.dynamic_slice(
+                flat, (pad - o,), (n_el,))
+        return acc.reshape(rr, _LANE)
+
+    return run
+
+
+def spmv_fn(plan: DiaPlan):
+    """Return a jit-compatible `f(dia_dev, x) -> r` closure for the plan.
+
+    `x` is the logical [n] vector; result is the logical [m] product A@x.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dt = plan.dia.dtype.name
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        kern = _dia_kernel_tpu(plan.offsets, plan.rr, plan.pad_rows,
+                               plan.tile_rows, dt)
+    else:
+        kern = _dia_kernel_xla(plan.offsets, plan.rr, plan.pad_rows, dt)
+    pr = plan.pad_rows
+    n_el = plan.rr * _LANE
+
+    has_rem = plan.rem_vals is not None
+    if has_rem:
+        rv = jnp.asarray(plan.rem_vals)
+        rrw = jnp.asarray(plan.rem_rows)
+        rcl = jnp.asarray(plan.rem_cols)
+
+    def f(dia, x):
+        xp = jnp.zeros((n_el + 2 * pr * _LANE,), dia.dtype)
+        xp = jax.lax.dynamic_update_slice(xp, x.astype(dia.dtype), (pr * _LANE,))
+        r = kern(dia, xp.reshape(-1, _LANE)).reshape(-1)[: plan.m]
+        if has_rem:
+            r = r + jax.ops.segment_sum(rv * x[rcl], rrw, num_segments=plan.m)
+        return r
+
+    return f
+
+
+def spmv(a: Sprs, x, plan: Optional[DiaPlan] = None):
+    """r = A @ x through the DIA fast path (plan built on the fly if absent)."""
+    import jax.numpy as jnp
+
+    p = plan or dia_plan(a)
+    f = spmv_fn(p)
+    return f(jnp.asarray(p.dia), jnp.asarray(np.asarray(x), p.dia.dtype))

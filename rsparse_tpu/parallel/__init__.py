@@ -1,0 +1,358 @@
+"""L6' distributed layer: SPMD sparse kernels over a `jax.sharding.Mesh`.
+
+The reference (RLado/rsparse) has **no parallelism of any kind** — SURVEY.md
+§2.5 documents the exhaustive grep. This layer is therefore a new, TPU-first
+design rather than a translation: the CSC entry stream is partitioned across
+the model axis of a ("data", "model") device mesh, each chip reduces its
+slice with `segment_sum` (VPU-friendly, no dense workspace), and cross-chip
+combination rides ICI via XLA collectives (`psum`) issued from
+`shard_map`-ed kernels. Independent RHS batches shard over the data axis
+with zero communication.
+
+Components:
+  - `make_mesh`            — ("data","model") mesh construction.
+  - `partition_entries`    — pad + flatten CSC into per-device entry chunks.
+  - `dist_gaxpy`           — SPMD r = A@x + y (entry-partitioned, psum).
+  - `dist_norm`            — SPMD 1-norm (max column abs-sum).
+  - `dist_tri_plan` / `dist_tri_solve` — level-scheduled SpTRSV with each
+                             level's entry window split across the model axis
+                             and the per-level dense update psum-combined.
+  - `make_refine_step` / `refine_step` — one iterative-refinement step
+                             (SpMV residual + L and L' SpTRSV sweeps) batched
+                             over RHS: the framework's composite "training
+                             step", used by `__graft_entry__.dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..data import Sprs
+from ..ops.plan import col_ids
+
+__all__ = [
+    "make_mesh",
+    "partition_entries",
+    "dist_gaxpy",
+    "dist_norm",
+    "DistTriPlan",
+    "dist_tri_plan",
+    "dist_tri_solve",
+    "make_refine_step",
+    "refine_step",
+]
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    data: int = 1,
+    axis_names: Tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """Build a ("data", "model") mesh from the first `n_devices` devices."""
+    devs = jax.devices()[: (n_devices or len(jax.devices()))]
+    nd = len(devs)
+    if nd % data != 0:
+        raise ValueError(f"{nd} devices not divisible by data={data}")
+    arr = np.array(devs).reshape(data, nd // data)
+    return Mesh(arr, axis_names)
+
+
+def _pad_to(a: np.ndarray, size: int, fill) -> np.ndarray:
+    out = np.full(size, fill, dtype=a.dtype)
+    out[: len(a)] = a
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class EntryPartition:
+    """Flattened CSC entry stream padded to D equal chunks.
+
+    Padding entries carry val=0 scattered to row 0 — additive identity, so
+    the psum-reduced SpMV is exact.
+    """
+
+    vals: np.ndarray  # [D*chunk] float
+    rows: np.ndarray  # [D*chunk] int32
+    cols: np.ndarray  # [D*chunk] int32
+    chunk: int
+    m: int
+    n: int
+
+
+def partition_entries(a: Sprs, n_shards: int) -> EntryPartition:
+    nz = a.nnz()
+    chunk = max(1, -(-nz // n_shards))
+    E = chunk * n_shards
+    return EntryPartition(
+        vals=_pad_to(a.x[:nz], E, 0.0),
+        rows=_pad_to(a.i[:nz].astype(np.int32), E, 0),
+        cols=_pad_to(col_ids(a.p, a.n).astype(np.int32), E, 0),
+        chunk=chunk,
+        m=a.m,
+        n=a.n,
+    )
+
+
+def _spmv_shard(vals, rows, cols, x, m: int, axis: str):
+    """Per-device partial SpMV + psum over the model axis."""
+    return jax.lax.psum(
+        jax.ops.segment_sum(vals * x[cols], rows, num_segments=m), axis
+    )
+
+
+def dist_gaxpy(ep: EntryPartition, x, y, mesh: Mesh, axis: str = "model"):
+    """SPMD r = A@x + y (reference semantics: src/lib.rs:411-421).
+
+    x, y replicated; entries sharded over `axis`.
+    """
+    fn = shard_map(
+        lambda v, r, c, xx, yy: _spmv_shard(v, r, c, xx, ep.m, axis) + yy,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(fn)(
+        jnp.asarray(ep.vals),
+        jnp.asarray(ep.rows),
+        jnp.asarray(ep.cols),
+        jnp.asarray(np.asarray(x, dtype=ep.vals.dtype)),
+        jnp.asarray(np.asarray(y, dtype=ep.vals.dtype)),
+    )
+
+
+def dist_norm(ep: EntryPartition, mesh: Mesh, axis: str = "model") -> float:
+    """SPMD 1-norm: max column abs-sum (reference src/lib.rs:771-782)."""
+
+    def shard(vals, cols):
+        return jax.lax.psum(
+            jax.ops.segment_sum(jnp.abs(vals), cols, num_segments=ep.n), axis
+        )
+
+    fn = shard_map(shard, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P())
+    col_sums = jax.jit(fn)(jnp.asarray(ep.vals), jnp.asarray(ep.cols))
+    return float(jnp.max(col_sums)) if ep.n else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Distributed level-scheduled SpTRSV
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DistTriPlan:
+    """Level schedule with each level's entry window padded and split into D
+    equal slices: entry tensors are [D, nlev, chunk] (leading dim shards over
+    the model axis), column tables [nlev, wmax] replicated. Static shapes
+    throughout — no dynamic windows inside the sharded loop."""
+
+    n: int
+    nlev: int
+    wmax: int
+    ent_val_idx: np.ndarray  # [D, nlev, chunk] gather into T.x (-1 pad)
+    ent_row: np.ndarray  # [D, nlev, chunk]
+    ent_col: np.ndarray  # [D, nlev, chunk]
+    ent_slot: np.ndarray  # [D, nlev, chunk]
+    col_id: np.ndarray  # [nlev, wmax] columns per level (pad n)
+    col_diag: np.ndarray  # [nlev, wmax] diag position in T.x (-1 pad)
+    scatter_form: bool
+
+
+def dist_tri_plan(t: Sprs, kind: int, n_shards: int) -> DistTriPlan:
+    """kind: 0=lsolve, 1=usolve (scatter form), 2=ltsolve, 3=utsolve (gather)."""
+    from ..solve import tri_plan
+
+    p = tri_plan(t, kind)
+    D = n_shards
+    ecnts = np.diff(p.ent_off)
+    emax = int(ecnts.max()) if len(ecnts) else 0
+    chunk = max(1, -(-emax // D))
+    nlev = p.nlev
+    vi = np.full((nlev, D * chunk), -1, dtype=np.int32)
+    er = np.zeros((nlev, D * chunk), dtype=np.int32)
+    ec = np.zeros((nlev, D * chunk), dtype=np.int32)
+    es = np.zeros((nlev, D * chunk), dtype=np.int32)
+    for v in range(nlev):
+        lo, hi = int(p.ent_off[v]), int(p.ent_off[v + 1])
+        cnt = hi - lo
+        vi[v, :cnt] = p.ent_pos[lo:hi]
+        er[v, :cnt] = p.ent_row[lo:hi]
+        ec[v, :cnt] = p.ent_col[lo:hi]
+        es[v, :cnt] = p.ent_slot[lo:hi]
+    # [nlev, D*chunk] -> [D, nlev, chunk]
+    resh = lambda a: np.transpose(a.reshape(nlev, D, chunk), (1, 0, 2)).copy()
+    cid = np.full((nlev, p.wmax), p.n, dtype=np.int32)
+    cdg = np.full((nlev, p.wmax), -1, dtype=np.int32)
+    for v in range(nlev):
+        lo, hi = int(p.col_off[v]), int(p.col_off[v + 1])
+        cid[v, : hi - lo] = p.col_id[lo:hi]
+        cdg[v, : hi - lo] = p.col_diag[lo:hi]
+    return DistTriPlan(
+        n=p.n,
+        nlev=nlev,
+        wmax=p.wmax,
+        ent_val_idx=resh(vi),
+        ent_row=resh(er),
+        ent_col=resh(ec),
+        ent_slot=resh(es),
+        col_id=cid,
+        col_diag=cdg,
+        scatter_form=kind in (0, 1),
+    )
+
+
+def _tri_sweep_local(tx, x, evi, erow, ecol, eslot, col_id, col_diag,
+                     n: int, nlev: int, wmax: int, scatter_form: bool, axis: str):
+    """Per-device level sweep. `evi/erow/ecol/eslot` are this device's
+    [1, nlev, chunk] slices; x is replicated across the model axis and every
+    level's dense update is psum-combined so all replicas stay identical."""
+    xpad = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])  # garbage slot n
+
+    def body(lev, xp):
+        cid = col_id[lev]
+        cdg = col_diag[lev]
+        cvalid = cdg >= 0
+        dvals = jnp.where(cvalid, tx[jnp.clip(cdg, 0, tx.shape[0] - 1)],
+                          jnp.ones((), tx.dtype))
+        vi = evi[0, lev]
+        ev = jnp.where(vi >= 0, tx[jnp.clip(vi, 0, tx.shape[0] - 1)],
+                       jnp.zeros((), tx.dtype))
+        er = erow[0, lev]
+        ec = ecol[0, lev]
+        es = eslot[0, lev]
+        if scatter_form:
+            # x[j] /= diag (all replicas identically), then the off-diagonal
+            # scatter x[rows] -= val * x[col] is reduced across devices.
+            xj = xp[cid] / dvals
+            xp = xp.at[jnp.where(cvalid, cid, n)].set(
+                jnp.where(cvalid, xj, 0.0), mode="drop")
+            delta = jax.ops.segment_sum(ev * xp[ec], er, num_segments=n + 1)
+            delta = jax.lax.psum(delta, axis)
+            xp = xp - delta.at[n].set(0.0)
+        else:
+            # gather form: contributions per column slot, reduced, then divide
+            contrib = jax.ops.segment_sum(ev * xp[er], es, num_segments=wmax)
+            contrib = jax.lax.psum(contrib, axis)
+            xj = (xp[cid] - contrib) / dvals
+            xp = xp.at[jnp.where(cvalid, cid, n)].set(
+                jnp.where(cvalid, xj, 0.0), mode="drop")
+        return xp
+
+    xpad = jax.lax.fori_loop(0, nlev, body, xpad)
+    return xpad[:n]
+
+
+def dist_tri_solve(t: Sprs, x, kind: int, mesh: Mesh, axis: str = "model",
+                   plan: Optional[DistTriPlan] = None):
+    """Distributed level-scheduled triangular solve (same kinds as
+    solve._tri_solve; reference sequential loops src/lib.rs:464-471 etc.)."""
+    D = mesh.shape[axis]
+    p = plan or dist_tri_plan(t, kind, D)
+    nz = t.nnz()
+    fn = shard_map(
+        partial(
+            _tri_sweep_local,
+            n=p.n, nlev=p.nlev, wmax=p.wmax,
+            scatter_form=p.scatter_form, axis=axis,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(fn)(
+        jnp.asarray(t.x[:nz]),
+        jnp.asarray(np.asarray(x, dtype=t.x.dtype)),
+        jnp.asarray(p.ent_val_idx),
+        jnp.asarray(p.ent_row),
+        jnp.asarray(p.ent_col),
+        jnp.asarray(p.ent_slot),
+        jnp.asarray(p.col_id),
+        jnp.asarray(p.col_diag),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite step: iterative refinement over a batch of RHS
+# ---------------------------------------------------------------------------
+
+
+def make_refine_step(ep: EntryPartition, lp: DistTriPlan, ltp: DistTriPlan,
+                     lx_len: int, mesh: Mesh,
+                     data_axis: str = "data", model_axis: str = "model"):
+    """Build the jitted SPMD iterative-refinement step.
+
+    Given the Cholesky factor L of SPD A, one step refines a batch of
+    solutions X [B, n] toward A\\B:  R = B - A@X;  Z = L'\\(L\\R);  X += Z.
+    The batch shards over `data_axis` (embarrassingly parallel); SpMV and
+    both triangular sweeps shard entries over `model_axis` (psum over ICI).
+    """
+    n = ep.n
+    m = ep.m
+
+    def step(lx, vals, rows, cols,
+             l_evi, l_erow, l_ecol, l_eslot,
+             lt_evi, lt_erow, lt_ecol, lt_eslot,
+             l_cid, l_cdg, lt_cid, lt_cdg, X, B):
+        def one(x, b):
+            r = b - _spmv_shard(vals, rows, cols, x, m, model_axis)
+            z = _tri_sweep_local(
+                lx, r[:n], l_evi, l_erow, l_ecol, l_eslot, l_cid, l_cdg,
+                n, lp.nlev, lp.wmax, True, model_axis)
+            z = _tri_sweep_local(
+                lx, z, lt_evi, lt_erow, lt_ecol, lt_eslot, lt_cid, lt_cdg,
+                n, ltp.nlev, ltp.wmax, False, model_axis)
+            return x + z
+
+        return jax.vmap(one)(X, B)
+
+    ax = model_axis
+    return jax.jit(shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P(),  # L values (replicated)
+            P(ax), P(ax), P(ax),  # SpMV entry stream
+            P(ax), P(ax), P(ax), P(ax),  # L sweep entry tensors [D,...]
+            P(ax), P(ax), P(ax), P(ax),  # L' sweep entry tensors
+            P(), P(), P(), P(),  # column tables
+            P(data_axis), P(data_axis),  # X, B batches
+        ),
+        out_specs=P(data_axis),
+    ))
+
+
+def refine_step(a: Sprs, l: Sprs, X, B, mesh: Mesh,
+                data_axis: str = "data", model_axis: str = "model"):
+    """One distributed iterative-refinement step for a batch of RHS.
+
+    Convenience wrapper building the plans on the fly; production use should
+    cache `make_refine_step` + plan tensors per sparsity pattern.
+    """
+    D = mesh.shape[model_axis]
+    ep = partition_entries(a, D)
+    lp = dist_tri_plan(l, 0, D)
+    ltp = dist_tri_plan(l, 2, D)
+    nzl = l.nnz()
+    fn = make_refine_step(ep, lp, ltp, nzl, mesh, data_axis, model_axis)
+    j = jnp.asarray
+    return fn(
+        j(l.x[:nzl]),
+        j(ep.vals), j(ep.rows), j(ep.cols),
+        j(lp.ent_val_idx), j(lp.ent_row), j(lp.ent_col), j(lp.ent_slot),
+        j(ltp.ent_val_idx), j(ltp.ent_row), j(ltp.ent_col), j(ltp.ent_slot),
+        j(lp.col_id), j(lp.col_diag), j(ltp.col_id), j(ltp.col_diag),
+        j(np.asarray(X, dtype=a.x.dtype)),
+        j(np.asarray(B, dtype=a.x.dtype)),
+    )

@@ -62,6 +62,7 @@ def _load() -> ctypes.CDLL:
     lib.rt_usolve.argtypes = [_i64, _i64p, _i64p, _f64p, _f64p]
     lib.rt_utsolve.argtypes = [_i64, _i64p, _i64p, _f64p, _f64p]
     lib.rt_tri_levels.argtypes = [_i64, _i64p, _i64p, _int, _i64p]
+    lib.rt_gaxpy.argtypes = [_i64, _i64, _i64p, _i64p, _f64p, _f64p, _f64p, _f64p]
     return lib
 
 
@@ -214,3 +215,11 @@ def usolve_host(n, Up, Ui, Ux, x):
 
 def utsolve_host(n, Up, Ui, Ux, x):
     _lib.rt_utsolve(n, _c(Up), _c(Ui), _c(Ux, np.float64), x)
+
+
+def gaxpy_host(m, n, Ap, Ai, Ax, x, y):
+    """Sequential reference-shaped SpMV (bench denominator)."""
+    r = np.empty(m, dtype=np.float64)
+    _lib.rt_gaxpy(m, n, _c(Ap), _c(Ai), _c(Ax, np.float64),
+                  _c(x, np.float64), _c(y, np.float64), r)
+    return r

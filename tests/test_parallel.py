@@ -1,0 +1,115 @@
+"""Distributed (L6') layer tests on the virtual 8-device CPU mesh.
+
+The reference has no parallelism (SURVEY.md §2.5); correctness oracles here
+are the single-chip kernels and numpy dense math.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+import rsparse_tpu as rs
+from rsparse_tpu import parallel as par
+
+from conftest import ASSETS
+
+
+def _load(name):
+    return rs.Sprs.new_from_file(f"{ASSETS}/{name}.sprs")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return par.make_mesh(data=1)
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    nd = len(jax.devices())
+    if nd % 2:
+        pytest.skip("needs an even device count")
+    return par.make_mesh(data=2)
+
+
+def test_dist_gaxpy_matches_dense(mesh):
+    a = _load("cholsol_1")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(a.n)
+    y = rng.standard_normal(a.m)
+    ep = par.partition_entries(a, mesh.shape["model"])
+    r = np.asarray(par.dist_gaxpy(ep, x, y, mesh))
+    want = a.to_dense_np() @ x + y
+    np.testing.assert_allclose(r, want, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_gaxpy_matches_single_chip_op(mesh):
+    a = _load("allsol_1")
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(a.n)
+    y = np.zeros(a.m)
+    ep = par.partition_entries(a, mesh.shape["model"])
+    r = np.asarray(par.dist_gaxpy(ep, x, y, mesh))
+    want = np.asarray(rs.gaxpy(a, list(x), list(y)))
+    np.testing.assert_allclose(r, want, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_norm(mesh):
+    a = _load("allsol_1")
+    ep = par.partition_entries(a, mesh.shape["model"])
+    assert par.dist_norm(ep, mesh) == pytest.approx(rs.norm(a), rel=1e-13)
+
+
+@pytest.mark.parametrize("kind", [0, 1, 2, 3])
+def test_dist_tri_solve(mesh, kind):
+    # Factor an SPD asset to get genuinely sparse L/U test triangles.
+    a = _load("cholsol_2")
+    s = rs.schol(a, 0)
+    nm = rs.chol(a, s)
+    l = nm.l
+    if kind in (1, 3):  # usolve/utsolve want diag LAST per column: use L' as U
+        t = rs.transpose(l)
+    else:
+        t = l
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(t.n)
+    got = np.asarray(par.dist_tri_solve(t, b.copy(), kind, mesh))
+    dense = t.to_dense_np()
+    if kind == 0:
+        want = np.linalg.solve(dense, b)
+    elif kind == 1:
+        want = np.linalg.solve(dense, b)
+    elif kind == 2:
+        want = np.linalg.solve(dense.T, b)
+    else:
+        want = np.linalg.solve(dense.T, b)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_refine_step_converges(mesh2d):
+    """One refinement step from X=0 must produce the exact solve (L exact)."""
+    a = _load("cholsol_1")
+    s = rs.schol(a, -1)  # natural order: L factors A itself
+    nm = rs.chol(a, s)
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((4, a.n))
+    X = np.zeros_like(B)
+    X1 = np.asarray(par.refine_step(a, nm.l, X, B, mesh2d))
+    dense = a.to_dense_np()
+    want = np.linalg.solve(dense, B.T).T
+    np.testing.assert_allclose(X1, want, rtol=1e-9, atol=1e-9)
+
+
+def test_refine_step_improves_perturbed(mesh2d):
+    a = _load("cholsol_2")
+    s = rs.schol(a, -1)
+    nm = rs.chol(a, s)
+    rng = np.random.default_rng(4)
+    B = rng.standard_normal((2, a.n))
+    dense = a.to_dense_np()
+    want = np.linalg.solve(dense, B.T).T
+    X0 = want + 1e-3 * rng.standard_normal(want.shape)
+    X1 = np.asarray(par.refine_step(a, nm.l, X0, B, mesh2d))
+    err0 = np.abs(X0 - want).max()
+    err1 = np.abs(X1 - want).max()
+    assert err1 < err0 * 1e-6

@@ -1,0 +1,47 @@
+"""DIA fast-path SpMV tests (ops/spmv.py) against dense and gaxpy oracles."""
+
+import numpy as np
+import pytest
+
+import rsparse_tpu as rs
+from rsparse_tpu.ops import spmv as spmv_mod
+
+from conftest import ASSETS
+
+
+def _load(name):
+    return rs.Sprs.new_from_file(f"{ASSETS}/{name}.sprs")
+
+
+@pytest.mark.parametrize("name", ["cholsol_1", "allsol_1", "cholsol_2", "lusol_3"])
+def test_spmv_matches_dense(name):
+    a = _load(name)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(a.n)
+    r = np.asarray(spmv_mod.spmv(a, x), np.float64)
+    want = a.to_dense_np() @ x
+    scale = max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(r, want, atol=1e-5 * scale)  # f32 path
+
+
+def test_spmv_remainder_split():
+    """Force a tiny max_diags so most entries go through the COO remainder."""
+    a = _load("allsol_1")
+    p = spmv_mod.dia_plan(a, max_diags=2)
+    assert p.rem_vals is not None and len(p.offsets) == 2
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(a.n)
+    r = np.asarray(spmv_mod.spmv(a, x, p), np.float64)
+    want = a.to_dense_np() @ x
+    scale = max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(r, want, atol=1e-5 * scale)
+
+
+def test_spmv_f64_plan():
+    a = _load("cholsol_2")
+    p = spmv_mod.dia_plan(a, dtype=np.float64)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(a.n)
+    r = np.asarray(spmv_mod.spmv(a, x, p))
+    want = a.to_dense_np() @ x
+    np.testing.assert_allclose(r, want, rtol=1e-12, atol=1e-12)
