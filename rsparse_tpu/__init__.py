@@ -88,6 +88,7 @@ from .solve import (  # noqa: E402
 )
 from .symbolic import schol, sqr  # noqa: E402
 from .factor import chol, lu, qr  # noqa: E402
+from . import utils  # noqa: E402
 
 __all__ += [
     "lsolve",

@@ -277,15 +277,19 @@ def cholsol(a: Sprs, b, order: int = 0):
     """x = A\\b for SPD A via Cholesky; b overwritten with the solution."""
     from .factor import chol
     from .symbolic import schol
+    from .utils.profiling import phase_timer
 
     n = a.n
-    s = schol(a, order)
-    nm = chol(a, s)
+    with phase_timer("cholsol.symbolic", nnz=a.nnz()):
+        s = schol(a, order)
+    with phase_timer("cholsol.factor", nnz=s.lnz):
+        nm = chol(a, s)
     x = np.zeros(n, dtype=np.float64)
     bb = np.asarray(b, dtype=np.float64)
-    ops.ipvec(n, s.pinv, bb, x)  # x = P*b
-    x = lsolve(nm.l, x)  # x = L\x
-    x = ltsolve(nm.l, x)  # x = L'\x
+    with phase_timer("cholsol.solve", nnz=2 * s.lnz):
+        ops.ipvec(n, s.pinv, bb, x)  # x = P*b
+        x = lsolve(nm.l, x)  # x = L\x
+        x = ltsolve(nm.l, x)  # x = L'\x
     out = np.zeros(n, dtype=np.float64)
     ops.pvec(n, s.pinv, x, out)  # b = P'*x
     _writeback(b, out)
@@ -296,15 +300,19 @@ def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6):
     """x = A\\b via LU with partial pivoting; b overwritten with the solution."""
     from .factor import lu
     from .symbolic import sqr
+    from .utils.profiling import phase_timer
 
     n = a.n
-    s = sqr(a, order, False)
-    nm = lu(a, s, tol)
+    with phase_timer("lusol.symbolic", nnz=a.nnz()):
+        s = sqr(a, order, False)
+    with phase_timer("lusol.factor", nnz=a.nnz()):
+        nm = lu(a, s, tol)
     x = np.zeros(n, dtype=np.float64)
     bb = np.asarray(b, dtype=np.float64)
-    ops.ipvec(n, nm.pinv, bb, x)  # x = P*b
-    x = lsolve(nm.l, x)  # x = L\x
-    x = usolve(nm.u, x)  # x = U\x
+    with phase_timer("lusol.solve", nnz=s.lnz + s.unz):
+        ops.ipvec(n, nm.pinv, bb, x)  # x = P*b
+        x = lsolve(nm.l, x)  # x = L\x
+        x = usolve(nm.u, x)  # x = U\x
     out = np.zeros(n, dtype=np.float64)
     ops.ipvec(n, s.q, x, out)  # b = Q*x
     _writeback(b, out)

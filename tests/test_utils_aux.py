@@ -1,0 +1,58 @@
+"""Aux subsystem tests: profiling metrics + symbolic checkpointing."""
+
+import os
+
+import numpy as np
+
+import rsparse_tpu as rs
+from rsparse_tpu.utils import (
+    get_metrics,
+    load_symbolic,
+    phase_timer,
+    reset_metrics,
+    save_symbolic,
+)
+
+from conftest import ASSETS
+
+
+def test_phase_timer_registry():
+    reset_metrics()
+    with phase_timer("unit.demo", nnz=1000):
+        sum(range(1000))
+    m = get_metrics()
+    assert m["unit.demo"]["calls"] == 1
+    assert m["unit.demo"]["seconds"] > 0
+    assert m["unit.demo"]["work"] == 1000
+    assert m["unit.demo"]["work_per_s"] > 0
+
+
+def test_solvers_populate_metrics():
+    reset_metrics()
+    a = rs.Sprs.new_from_file(f"{ASSETS}/cholsol_1.sprs")
+    rs.cholsol(a, [0.1] * a.n, 0)
+    m = get_metrics()
+    assert {"cholsol.symbolic", "cholsol.factor", "cholsol.solve"} <= set(m)
+
+
+def test_symbolic_checkpoint_roundtrip(tmp_path):
+    a = rs.Sprs.new_from_file(f"{ASSETS}/cholsol_2.sprs")
+    s = rs.schol(a, 0)
+    p = str(tmp_path / "symb.npz")
+    save_symbolic(s, p)
+    s2 = load_symbolic(p)
+    np.testing.assert_array_equal(s.pinv, s2.pinv)
+    np.testing.assert_array_equal(s.parent, s2.parent)
+    np.testing.assert_array_equal(s.cp, s2.cp)
+    assert (s.lnz, s.unz, s.m2) == (s2.lnz, s2.unz, s2.m2)
+    # the restored Symb drives a numeric factorization + solve end-to-end
+    nm = rs.chol(a, s2)
+    b = np.linspace(1, 2, a.n)
+    x = np.zeros(a.n)
+    rs.ipvec(a.n, s2.pinv, b, x)
+    x = rs.lsolve(nm.l, x)
+    x = rs.ltsolve(nm.l, x)
+    out = np.zeros(a.n)
+    rs.pvec(a.n, s2.pinv, x, out)
+    resid = np.asarray(rs.gaxpy(a, list(out), [0.0] * a.n)) - b
+    assert np.abs(resid).max() < 1e-9
