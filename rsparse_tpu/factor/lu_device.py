@@ -1,25 +1,258 @@
-"""Device LU: left-looking with partial pivoting.
+"""Device LU: level-scheduled static-pivot factorization (GESP-style).
 
-Hardest kernel in the suite (SURVEY.md §7 hard-parts #1): partial pivoting
-makes the fill pattern runtime-dynamic, which conflicts with XLA's static
-shapes. The design (George–Ng bound): pattern(U) is bounded by pattern(R) of
-the QR factorization of A(:,q) for ANY row permutation, so the per-column
-triangular-solve loop can run over the static R-bound with dynamic gathers;
-pivot selection is a masked argmax with the reference's tol rule
-(|x[col]| >= tol * max |x|, reference src/lib.rs:587-589).
+The reference's left-looking LU (src/lib.rs:519-622) interleaves partial
+pivoting with the numeric solve, which makes the fill pattern runtime-
+dynamic — fundamentally at odds with XLA's static shapes. The TPU design
+follows the approach production distributed solvers use (SuperLU_DIST's
+GESP): pivot *statically* (diagonal pivoting over the fill-reducing
+ordering), which fixes L/U patterns ahead of time (native rt_lu_pattern),
+then factor on device as batched dense MXU operations over elimination
+levels:
 
-Round-1 implementation note: runs via the native engine (host) while the
-surrounding solves run on device; the bound-pattern device kernel lands
-next.
+  For column k with static offdiag-U rows B_k and offdiag-L rows L_k:
+      M z = a(B_k)          M = L(B_k,B_k) unit-lower  (dense tri solve)
+      u_kk = a(k) - L(k,B_k)·z
+      l = (a(L_k) - L(L_k,B_k) @ z) / u_kk             (dense matmul)
+  All columns in an elimination level are independent → one batched
+  `triangular_solve` + one batched matmul per level, gathers/scatters via
+  static index tensors built once per sparsity pattern.
+
+The reference's tol rule (diagonal preferred iff |x[col]| >= tol·max|x|,
+src/lib.rs:587-589) is evaluated on device as a stability margin: if any
+column's static pivot violates it (i.e. the reference would have swapped
+rows), the factorization falls back to the host engine's reference-exact
+partial pivoting. Diagonally-dominant / well-ordered systems stay fully on
+device; adversarial ones stay correct.
 """
 
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
 from ..data import Sprs, Symb
+from ..errors import NoPivotError
 from ..symbolic import native
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (int(x) - 1).bit_length())
+
+
+def _lookup(keys_sorted: np.ndarray, order: np.ndarray, qkeys: np.ndarray) -> np.ndarray:
+    """Positions of qkeys in a sorted key table; -1 where absent."""
+    if len(keys_sorted) == 0:
+        return np.full(qkeys.shape, -1, dtype=np.int64)
+    pos = np.clip(np.searchsorted(keys_sorted, qkeys), 0, len(keys_sorted) - 1)
+    found = keys_sorted[pos] == qkeys
+    return np.where(found, order[pos], -1).astype(np.int64)
+
+
+@dataclasses.dataclass
+class LUPlan:
+    n: int
+    lnz: int
+    unz: int
+    Lp: np.ndarray
+    Li: np.ndarray
+    Up: np.ndarray
+    Ui: np.ndarray
+    q: Optional[np.ndarray]
+    levels: List[Tuple[np.ndarray, ...]]
+    plan_entries: int  # total gather-tensor volume (cost guard)
+
+
+# Beyond this many gather-tensor entries the dense-block plan is bigger than
+# the problem deserves; the host engine is faster there anyway.
+PLAN_ENTRY_CAP = 300_000_000
+
+
+def build_lu_plan(a: Sprs, s: Symb, level_batch: int = 2048) -> Optional[LUPlan]:
+    """Static per-level gather/scatter tensors; None if the plan would blow
+    past PLAN_ENTRY_CAP (caller falls back to host)."""
+    from ..ops.plan import col_ids
+
+    n = a.n
+    q = np.asarray(s.q, dtype=np.int64) if s.q is not None else None
+    cap = 4 * a.nnz() + n
+    Lp, Li, Up, Ui, level = native.lu_pattern(n, a.p, a.i[: a.nnz()], q, cap, cap)
+    lnz, unz = int(Lp[n]), int(Up[n])
+
+    # quick cost estimate: sum over columns of r^2 + lr*r
+    rcnt = np.diff(Up) - 1  # offdiag U rows per column
+    lcnt = np.diff(Lp) - 1  # offdiag L rows per column
+    est = int(np.sum(rcnt * rcnt + lcnt * rcnt))
+    if est > PLAN_ENTRY_CAP:
+        return None
+
+    # position lookup tables
+    lcols = col_ids(Lp, n)
+    lkeys = lcols * np.int64(n) + Li
+    lorder = np.arange(lnz, dtype=np.int64)
+    if lnz and not np.all(np.diff(lkeys) > 0):  # diag-first breaks ordering
+        lorder = np.argsort(lkeys, kind="stable")
+        lkeys = lkeys[lorder]
+
+    anz = a.nnz()
+    acols_logical = col_ids(a.p, n)  # columns of A
+    # column k of the factorization reads A(:, q[k]); build keys in k-space
+    if q is not None:
+        qinv = np.empty(n, dtype=np.int64)
+        qinv[q] = np.arange(n)
+        k_of_entry = qinv[acols_logical]
+    else:
+        k_of_entry = acols_logical
+    akeys = k_of_entry * np.int64(n) + a.i[:anz]
+    aorder = np.argsort(akeys, kind="stable")
+    akeys_s = akeys[aorder]
+
+    nlev = int(level.max()) + 1 if n else 0
+    order_by_level = np.argsort(level, kind="stable")
+    lev_off = np.zeros(nlev + 1, dtype=np.int64)
+    np.cumsum(np.bincount(level, minlength=nlev), out=lev_off[1:])
+
+    levels = []
+    total = 0
+    for lev in range(nlev):
+        ks_all = order_by_level[lev_off[lev] : lev_off[lev + 1]]
+        r_all = rcnt[ks_all]
+        l_all = lcnt[ks_all]
+        rmax = _next_pow2(max(int(r_all.max()) if len(r_all) else 0, 1))
+        lmax = _next_pow2(max(int(l_all.max()) if len(l_all) else 0, 1))
+        for s0 in range(0, len(ks_all), level_batch):
+            ks = ks_all[s0 : s0 + level_batch]
+            K = len(ks)
+            Kp = _next_pow2(K)
+            B = np.full((Kp, rmax), -1, dtype=np.int64)  # offdiag U rows
+            Lr = np.full((Kp, lmax), -1, dtype=np.int64)  # offdiag L rows
+            for t, k in enumerate(ks):
+                B[t, : rcnt[k]] = Ui[Up[k] : Up[k + 1] - 1]
+                Lr[t, : lcnt[k]] = Li[Lp[k] + 1 : Lp[k + 1]]
+            bvalid = B >= 0
+            lvalid = Lr >= 0
+            Bc = np.where(bvalid, B, 0)
+            Lc = np.where(lvalid, Lr, 0)
+            kcol = np.zeros(Kp, dtype=np.int64)
+            kcol[:K] = ks
+
+            # M(a,b) = L(B[a], B[b]) for b <= a (unit diag at a == b)
+            colb = np.broadcast_to(Bc[:, None, :], (Kp, rmax, rmax))
+            rowa = np.broadcast_to(Bc[:, :, None], (Kp, rmax, rmax))
+            tril = np.tril(np.ones((rmax, rmax), bool), -1)
+            pv = bvalid[:, :, None] & bvalid[:, None, :] & tril
+            Midx = np.where(pv, _lookup(lkeys, lorder, colb * np.int64(n) + rowa), -1)
+            # N(a,b) = L(Lr[a], B[b])
+            colb2 = np.broadcast_to(Bc[:, None, :], (Kp, lmax, rmax))
+            rowl = np.broadcast_to(Lc[:, :, None], (Kp, lmax, rmax))
+            pv2 = lvalid[:, :, None] & bvalid[:, None, :]
+            Nidx = np.where(pv2, _lookup(lkeys, lorder, colb2 * np.int64(n) + rowl), -1)
+            # L(k, B[b]) row of the current pivot
+            kb = kcol[:, None] * 0 + Bc  # columns
+            Kidx = np.where(bvalid, _lookup(lkeys, lorder, kb * np.int64(n) + kcol[:, None]), -1)
+            # A gathers (k-space keys)
+            bidx_u = np.where(bvalid, _lookup(akeys_s, aorder, kcol[:, None] * np.int64(n) + Bc), -1)
+            bidx_l = np.where(lvalid, _lookup(akeys_s, aorder, kcol[:, None] * np.int64(n) + Lc), -1)
+            akk = _lookup(akeys_s, aorder, kcol * np.int64(n) + kcol)
+            akk[K:] = -1
+            # scatter positions
+            upos = np.full((Kp, rmax), unz, dtype=np.int64)
+            for t, k in enumerate(ks):
+                upos[t, : rcnt[k]] = np.arange(Up[k], Up[k + 1] - 1)
+            dpos = np.full(Kp, unz, dtype=np.int64)
+            dpos[:K] = Up[ks + 1] - 1  # U diag is last entry per column
+            lpos = np.full((Kp, lmax), lnz, dtype=np.int64)
+            for t, k in enumerate(ks):
+                lpos[t, : lcnt[k]] = np.arange(Lp[k] + 1, Lp[k + 1])
+            ldiag = np.full(Kp, lnz, dtype=np.int64)
+            ldiag[:K] = Lp[ks]
+            vmask = np.zeros(Kp, dtype=bool)
+            vmask[:K] = True
+            levels.append(tuple(
+                x.astype(np.int32) if x.dtype != bool else x
+                for x in (Midx, Nidx, Kidx, bidx_u, bidx_l, akk, upos, dpos, lpos, ldiag)
+            ) + (vmask,))
+            total += Midx.size + Nidx.size
+    return LUPlan(n=n, lnz=lnz, unz=unz, Lp=Lp, Li=Li, Up=Up, Ui=Ui, q=q,
+                  levels=levels, plan_entries=total)
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("tol",))
+def _lu_level(Lx, Ux, Ax, Midx, Nidx, Kidx, bidx_u, bidx_l, akk,
+              upos, dpos, lpos, ldiag, vmask, tol: float):
+    ft = Lx.dtype
+
+    def g(src, idx):
+        return jnp.where(idx >= 0, src[jnp.clip(idx, 0, src.shape[0] - 1)],
+                         jnp.zeros((), ft))
+
+    M = g(Lx, Midx)
+    r = M.shape[-1]
+    M = M + jnp.eye(r, dtype=ft)[None, :, :]  # unit diagonal
+    b_u = g(Ax, bidx_u)
+    z = jax.lax.linalg.triangular_solve(
+        M, b_u[..., None], left_side=True, lower=True)[..., 0]
+    a_kk = g(Ax, akk)
+    lk = g(Lx, Kidx)
+    ukk = a_kk - jnp.sum(lk * z, axis=-1)
+    N = g(Lx, Nidx)
+    xl = g(Ax, bidx_l) - jnp.einsum("klr,kr->kl", N, z)
+    safe_ukk = jnp.where(ukk == 0, jnp.ones((), ft), ukk)
+    lcol = xl / safe_ukk[:, None]
+    # stability margin: reference tol rule (src/lib.rs:587-589) — the static
+    # (diagonal) pivot is the one the reference would keep iff
+    # |ukk| >= tol * max(|ukk|, max|xl|); margin < 0 → host fallback.
+    colmax = jnp.maximum(jnp.abs(ukk), jnp.max(jnp.abs(xl), axis=-1))
+    margin = jnp.abs(ukk) - tol * colmax
+    margin = jnp.where(vmask, margin, jnp.zeros((), ft))
+    bad = jnp.logical_and(vmask, ukk == 0)
+    Ux = Ux.at[upos.reshape(-1)].set(z.reshape(-1), mode="drop")
+    Ux = Ux.at[dpos].set(ukk, mode="drop")
+    Lx = Lx.at[lpos.reshape(-1)].set(lcol.reshape(-1), mode="drop")
+    Lx = Lx.at[ldiag].set(jnp.ones((), ft), mode="drop")
+    return Lx, Ux, jnp.min(margin), jnp.any(bad)
+
+
 def lu_device(a: Sprs, s: Symb, tol: float):
-    return native.lu_numeric(
-        a.n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol, s.lnz, s.unz
-    )
+    """Device static-pivot LU with host partial-pivot fallback.
+
+    Returns (Lp, Li, Lx, Up, Ui, Ux, pinv) like the host engine; pinv is
+    identity when the static factorization is accepted.
+    """
+    plan = getattr(s, "plan", None)
+    if not isinstance(plan, LUPlan):
+        try:
+            plan = build_lu_plan(a, s)
+        except NoPivotError:
+            plan = None  # structurally singular w/o pivoting: host handles
+        if plan is not None:
+            s.plan = plan
+    if plan is None:
+        return native.lu_numeric(
+            a.n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol, s.lnz, s.unz)
+
+    Ax = jnp.asarray(a.x[: a.nnz()])
+    Lx = jnp.zeros(plan.lnz + 1, dtype=Ax.dtype)
+    Ux = jnp.zeros(plan.unz + 1, dtype=Ax.dtype)
+    margins = []
+    bads = []
+    for tensors in plan.levels:
+        args = [jnp.asarray(t) for t in tensors]
+        Lx, Ux, mg, bd = _lu_level(Lx, Ux, Ax, *args, tol=float(tol))
+        margins.append(mg)
+        bads.append(bd)
+    mg = float(jnp.min(jnp.stack(margins))) if margins else 0.0
+    bad = bool(jnp.any(jnp.stack(bads))) if bads else False
+    if bad or not (mg >= 0.0):  # NaN-safe: NaN margin also falls back
+        # the reference would have pivoted differently (or pivot hit zero):
+        # reproduce its exact partial-pivoting semantics on the host engine
+        return native.lu_numeric(
+            a.n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol, s.lnz, s.unz)
+    pinv = np.arange(plan.n, dtype=np.int64)
+    return (plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz]),
+            plan.Up, plan.Ui, np.asarray(Ux[: plan.unz]), pinv)

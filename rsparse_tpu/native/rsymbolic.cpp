@@ -858,6 +858,77 @@ int rt_lu_numeric(i64 n, const i64* Ap, const i64* Ai, const double* Ax,
 }
 
 // ---------------------------------------------------------------------------
+// Static-pivot LU pattern replay (device-LU symbolic phase).
+// Replays the left-looking factorization with pinv = identity (GESP-style
+// static pivoting — the pattern the device kernel factors; numeric partial
+// pivoting falls back to rt_lu_numeric). Per column k of A(:,q):
+//   reach of A(:,col) rows in graph(L) -> U rows {i<k} + L rows {i>k} + diag.
+// Outputs (rows ascending): L with diag FIRST per column (lsolve convention,
+// reference src/lib.rs:425-427), U with diag LAST (src/lib.rs:1232), and the
+// column level schedule level[k] = 1 + max level over offdiag U rows (the
+// columns whose L factors column k reads). Returns 0 ok, -1 structurally
+// singular (diag unreachable), -2 capacity overflow (needed sizes in
+// lnz_out/unz_out).
+// ---------------------------------------------------------------------------
+int rt_lu_pattern(i64 n, const i64* Ap, const i64* Ai, const i64* q_perm,
+                  i64 cap_l, i64 cap_u,
+                  i64* Lp, i64* Li, i64* Up, i64* Ui, i64* level,
+                  i64* lnz_out, i64* unz_out) {
+  std::vector<i64> xi(2 * n, 0);
+  std::fill(Lp, Lp + n + 1, 0);
+  // static pivoting: row k becomes pivotal at step k (identity pinv for
+  // finished columns, -1 = not yet pivotal, matching lu_dfs's contract)
+  std::vector<i64> spinv(n, -1);
+  i64 lnz = 0, unz = 0;
+  std::vector<i64> urows, lrows;
+  for (i64 k = 0; k < n; k++) {
+    Lp[k] = lnz;
+    Up[k] = unz;
+    i64 col = q_perm ? q_perm[k] : k;
+    i64 top = n;
+    for (i64 q = Ap[col]; q < Ap[col + 1]; q++) {
+      if (!is_marked(Lp, Ai[q]))
+        top = lu_dfs(Ai[q], Lp, Li, top, xi.data(), xi.data() + n, spinv.data());
+    }
+    for (i64 q = top; q < n; q++) set_mark(Lp, xi[q]);  // restore L marks
+    urows.clear();
+    lrows.clear();
+    bool has_diag = false;
+    for (i64 q = top; q < n; q++) {
+      i64 i = xi[q];
+      if (i < k)
+        urows.push_back(i);
+      else if (i > k)
+        lrows.push_back(i);
+      else
+        has_diag = true;
+    }
+    if (!has_diag) return -1;  // structurally singular under static pivoting
+    if (lnz + (i64)lrows.size() + 1 > cap_l ||
+        unz + (i64)urows.size() + 1 > cap_u) {
+      *lnz_out = 2 * cap_l + n;
+      *unz_out = 2 * cap_u + n;
+      return -2;
+    }
+    std::sort(urows.begin(), urows.end());
+    std::sort(lrows.begin(), lrows.end());
+    i64 lev = 0;
+    for (i64 j : urows) lev = std::max(lev, level[j] + 1);
+    level[k] = lev;
+    for (i64 j : urows) Ui[unz++] = j;
+    Ui[unz++] = k;  // diag last
+    Li[lnz++] = k;  // diag first
+    for (i64 i : lrows) Li[lnz++] = i;
+    spinv[k] = k;
+  }
+  Lp[n] = lnz;
+  Up[n] = unz;
+  *lnz_out = lnz;
+  *unz_out = unz;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // QR pattern replay — V and R column patterns, values-free
 // (pattern logic of reference qr src/lib.rs:788-877 + scatter_no_x
 // 2310-2329). Inputs: A + optional column perm q, parent (etree of C'C),

@@ -52,6 +52,10 @@ def _load() -> ctypes.CDLL:
                                   _i64p, _i64p, _f64p, _i64p, _i64p, _f64p,
                                   _i64p, ctypes.POINTER(_i64), ctypes.POINTER(_i64)]
     lib.rt_lu_numeric.restype = _int
+    lib.rt_lu_pattern.argtypes = [_i64, _i64p, _i64p, ctypes.c_void_p, _i64, _i64,
+                                  _i64p, _i64p, _i64p, _i64p, _i64p,
+                                  ctypes.POINTER(_i64), ctypes.POINTER(_i64)]
+    lib.rt_lu_pattern.restype = _int
     lib.rt_qr_pattern.argtypes = [_i64, _i64, _i64p, _i64p, ctypes.c_void_p,
                                   _i64p, _i64p, _i64, _i64p, _i64p, _i64p, _i64p]
     lib.rt_qr_numeric.argtypes = [_i64, _i64, _i64p, _i64p, _f64p, ctypes.c_void_p,
@@ -167,6 +171,35 @@ def lu_numeric(n, Ap, Ai, Ax, q, tol, cap_l, cap_u):
             raise NoPivotError()
         ln, un = int(lnz.value), int(unz.value)
         return (Lp, Li[:ln], Lx[:ln], Up, Ui[:un], Ux[:un], pinv)
+
+
+def lu_pattern(n, Ap, Ai, q, cap_l, cap_u):
+    """Static-pivot LU pattern + level schedule (device-LU symbolic phase).
+
+    Returns (Lp, Li, Up, Ui, level); raises NoPivotError if structurally
+    singular under static pivoting.
+    """
+    Ap, Ai = _c(Ap), _c(Ai)
+    q = _c(q) if q is not None else None
+    while True:
+        Lp = np.zeros(n + 1, dtype=np.int64)
+        Li = np.zeros(cap_l, dtype=np.int64)
+        Up = np.zeros(n + 1, dtype=np.int64)
+        Ui = np.zeros(cap_u, dtype=np.int64)
+        level = np.zeros(n, dtype=np.int64)
+        lnz = _i64(0)
+        unz = _i64(0)
+        rc = _lib.rt_lu_pattern(n, Ap, Ai, _opt_ptr(q), cap_l, cap_u,
+                                Lp, Li, Up, Ui, level,
+                                ctypes.byref(lnz), ctypes.byref(unz))
+        if rc == -2:
+            cap_l, cap_u = int(lnz.value), int(unz.value)
+            continue
+        if rc == -1:
+            from ..errors import NoPivotError
+
+            raise NoPivotError()
+        return Lp, Li[: int(lnz.value)], Up, Ui[: int(unz.value)], level
 
 
 def qr_pattern(m, n, Ap, Ai, q, parent, pinv, m2, vnz_cap, rnz_cap):
