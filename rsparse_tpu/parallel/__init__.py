@@ -48,6 +48,7 @@ __all__ = [
     "partition_entries",
     "dist_gaxpy",
     "dist_norm",
+    "dist_spgemm",
     "DistTriPlan",
     "dist_tri_plan",
     "dist_tri_solve",
@@ -144,6 +145,40 @@ def dist_norm(ep: EntryPartition, mesh: Mesh, axis: str = "model") -> float:
     fn = shard_map(shard, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P())
     col_sums = jax.jit(fn)(jnp.asarray(ep.vals), jnp.asarray(ep.cols))
     return float(jnp.max(col_sums)) if ep.n else 0.0
+
+
+def dist_spgemm(a: Sprs, b: Sprs, mesh: Mesh, axis: str = "model") -> Sprs:
+    """SPMD C = A @ B (reference Gustavson multiply, src/lib.rs:713-748).
+
+    TPU formulation: the host ESC planner (ops.plan.spgemm_plan) fixes the
+    static output pattern and the expanded product stream; the stream is
+    split into equal per-device chunks, each chip segment-sums its partial
+    products into the (static-nnz) output value vector, and one `psum`
+    combines them. Output pattern/pointers are identical to the single-chip
+    `ops.multiply`.
+    """
+    from ..ops.plan import spgemm_plan
+
+    p = spgemm_plan(a, b)
+    D = mesh.shape[axis]
+    nz = max(p.nnz, 1)
+    E = len(p.seg)
+    chunk = max(1, -(-E // D))
+    Ep = chunk * D
+    av = a.x[: a.nnz()][p.a_idx] if E else np.zeros(0, a.x.dtype)
+    bv = b.x[: b.nnz()][p.b_idx] if E else np.zeros(0, b.x.dtype)
+    prod = np.zeros(Ep, dtype=a.x.dtype)
+    prod[:E] = av * bv
+    seg = np.full(Ep, nz, dtype=np.int32)  # pad -> dropped garbage slot
+    seg[:E] = p.seg
+
+    def shard(pv, sv):
+        part = jax.ops.segment_sum(pv, sv, num_segments=nz + 1)
+        return jax.lax.psum(part, axis)
+
+    fn = shard_map(shard, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P())
+    cx = np.asarray(jax.jit(fn)(jnp.asarray(prod), jnp.asarray(seg)))[:p.nnz]
+    return Sprs(p.nnz, p.m, p.n, p.out_p, p.out_i, cx)
 
 
 # ---------------------------------------------------------------------------

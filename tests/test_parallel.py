@@ -113,3 +113,22 @@ def test_refine_step_improves_perturbed(mesh2d):
     err0 = np.abs(X0 - want).max()
     err1 = np.abs(X1 - want).max()
     assert err1 < err0 * 1e-6
+
+
+def test_dist_spgemm_matches_single_chip(mesh):
+    a = _load("allsol_1")
+    at = rs.transpose(a)
+    want = rs.multiply(a, at)
+    got = par.dist_spgemm(a, at, mesh)
+    assert np.array_equal(want.p, got.p)
+    assert np.array_equal(want.i, got.i)
+    np.testing.assert_allclose(got.x, want.x, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_spgemm_rectangular(mesh):
+    a = _load("qrsol_8")  # 200x201 rectangular
+    at = rs.transpose(a)
+    want = rs.multiply(at, a)
+    got = par.dist_spgemm(at, a, mesh)
+    assert np.array_equal(want.p, got.p)
+    np.testing.assert_allclose(got.x, want.x, rtol=1e-12, atol=1e-12)
