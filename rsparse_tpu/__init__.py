@@ -82,9 +82,14 @@ from .solve import (  # noqa: E402
     ltsolve,
     usolve,
     utsolve,
+    lsolve_multi,
+    ltsolve_multi,
+    usolve_multi,
+    utsolve_multi,
     cholsol,
     lusol,
     qrsol,
+    cholsol_multi,
 )
 from .symbolic import schol, sqr  # noqa: E402
 from .factor import chol, lu, qr  # noqa: E402
@@ -95,9 +100,14 @@ __all__ += [
     "ltsolve",
     "usolve",
     "utsolve",
+    "lsolve_multi",
+    "ltsolve_multi",
+    "usolve_multi",
+    "utsolve_multi",
     "cholsol",
     "lusol",
     "qrsol",
+    "cholsol_multi",
     "schol",
     "sqr",
     "chol",

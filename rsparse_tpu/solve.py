@@ -29,7 +29,11 @@ from . import ops
 from .ops.plan import col_ids
 from .symbolic import native
 
-__all__ = ["lsolve", "ltsolve", "usolve", "utsolve", "cholsol", "lusol", "qrsol", "happly_dense"]
+__all__ = [
+    "lsolve", "ltsolve", "usolve", "utsolve",
+    "lsolve_multi", "ltsolve_multi", "usolve_multi", "utsolve_multi",
+    "cholsol", "lusol", "qrsol", "cholsol_multi", "happly_dense",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +188,150 @@ def _tri_sweep(
 
     xpad = jax.lax.fori_loop(0, nlev, body, xpad)
     return xpad[:n]
+
+
+@partial(
+    __import__("jax").jit,
+    static_argnames=("nlev", "emax", "wmax", "n", "scatter_form"),
+)
+def _tri_sweep_multi(
+    tx,
+    X,  # [n, B] — RHS batch in the lane dimension (TPU-efficient: every
+    # gather/scatter moves a full 128-lane row instead of a scalar)
+    ent_pos,
+    ent_row,
+    ent_col,
+    ent_slot,
+    ent_off,
+    col_id,
+    col_diag,
+    col_off,
+    nlev: int,
+    emax: int,
+    wmax: int,
+    n: int,
+    scatter_form: bool,
+):
+    import jax
+    import jax.numpy as jnp
+
+    B = X.shape[1]
+    xpad = jnp.concatenate([X, jnp.zeros((1, B), X.dtype)])  # garbage row n
+
+    def body(lev, xp):
+        co = col_off[lev]
+        ccnt = col_off[lev + 1] - co
+        cidx = jax.lax.iota(jnp.int32, wmax)
+        cvalid = cidx < ccnt
+        csafe = jnp.clip(co + cidx, 0, col_id.shape[0] - 1)
+        jcols = jnp.where(cvalid, col_id[csafe], n)
+        dpos = jnp.clip(col_diag[csafe], 0, tx.shape[0] - 1)
+        dvals = jnp.where(cvalid, tx[dpos], jnp.ones((), tx.dtype))
+
+        eo = ent_off[lev]
+        ecnt = ent_off[lev + 1] - eo
+        eidx = jax.lax.iota(jnp.int32, emax)
+        evalid = eidx < ecnt
+        esafe = jnp.clip(eo + eidx, 0, max(ent_pos.shape[0] - 1, 0))
+        if ent_pos.shape[0] == 0:
+            evals = jnp.zeros((emax,), tx.dtype)
+            erows = jnp.full((emax,), n, jnp.int32)
+            ecols = jnp.full((emax,), n, jnp.int32)
+            eslot = jnp.zeros((emax,), jnp.int32)
+        else:
+            evals = jnp.where(evalid, tx[ent_pos[esafe]], jnp.zeros((), tx.dtype))
+            erows = jnp.where(evalid, ent_row[esafe], n)
+            ecols = jnp.where(evalid, ent_col[esafe], n)
+            eslot = jnp.where(evalid, ent_slot[esafe], 0)
+
+        if scatter_form:
+            xj = xp[jcols] / dvals[:, None]
+            xp = xp.at[jcols].set(jnp.where(cvalid[:, None], xj, xp[jcols]))
+            upd = evals[:, None] * xp[ecols]
+            xp = xp.at[erows].add(-upd)
+        else:
+            contrib = jax.ops.segment_sum(
+                evals[:, None] * xp[erows], eslot, num_segments=wmax)
+            xj = (xp[jcols] - contrib) / dvals[:, None]
+            xp = xp.at[jcols].set(jnp.where(cvalid[:, None], xj, xp[jcols]))
+        return xp
+
+    xpad = __import__("jax").lax.fori_loop(0, nlev, body, xpad)
+    return xpad[:n]
+
+
+def _tri_solve_multi(t: Sprs, X, kind: int, plan: Optional[TriPlan] = None):
+    """Batched dense-RHS triangular solve: X is [n, B] (or [B, n] via .T by
+    the caller). Returns the solved [n, B] matrix."""
+    import jax.numpy as jnp
+
+    p = plan or tri_plan(t, kind)
+    out = _tri_sweep_multi(
+        jnp.asarray(t.x[: t.nnz()]),
+        jnp.asarray(np.asarray(X, dtype=t.x.dtype)),
+        jnp.asarray(p.ent_pos),
+        jnp.asarray(p.ent_row),
+        jnp.asarray(p.ent_col),
+        jnp.asarray(p.ent_slot),
+        jnp.asarray(p.ent_off),
+        jnp.asarray(p.col_id),
+        jnp.asarray(p.col_diag),
+        jnp.asarray(p.col_off),
+        p.nlev,
+        p.emax,
+        p.wmax,
+        p.n,
+        kind in (0, 1),
+    )
+    return np.array(out)
+
+
+def lsolve_multi(l: Sprs, X, plan: Optional[TriPlan] = None):
+    """Batched Lx=b over RHS columns of X [n, B] (TPU serving shape)."""
+    return _tri_solve_multi(l, X, 0, plan)
+
+
+def ltsolve_multi(l: Sprs, X, plan: Optional[TriPlan] = None):
+    return _tri_solve_multi(l, X, 2, plan)
+
+
+def usolve_multi(u: Sprs, X, plan: Optional[TriPlan] = None):
+    return _tri_solve_multi(u, X, 1, plan)
+
+
+def utsolve_multi(u: Sprs, X, plan: Optional[TriPlan] = None):
+    return _tri_solve_multi(u, X, 3, plan)
+
+
+def cholsol_multi(a: Sprs, B, order: int = 0):
+    """Batched SPD solve: B is [n, nrhs]; returns X with A@X = B.
+
+    No reference counterpart (the reference is single-RHS only); this is the
+    TPU-first serving path — one symbolic analysis + factorization amortized
+    over a lane-aligned RHS batch.
+    """
+    from .factor import chol
+    from .symbolic import schol
+
+    n = a.n
+    s = schol(a, order)
+    nm = chol(a, s)
+    Bm = np.asarray(B, dtype=np.float64)
+    X = np.zeros_like(Bm)
+    if s.pinv is not None:
+        X[np.asarray(s.pinv, dtype=np.int64)] = Bm
+    else:
+        X[:] = Bm
+    p0 = tri_plan(nm.l, 0)
+    p2 = tri_plan(nm.l, 2)
+    X = lsolve_multi(nm.l, X, p0)
+    X = ltsolve_multi(nm.l, X, p2)
+    out = np.zeros_like(X)
+    if s.pinv is not None:
+        out[:] = X[np.asarray(s.pinv, dtype=np.int64)]
+    else:
+        out[:] = X
+    return out
 
 
 def _tri_solve(t: Sprs, x, kind: int, plan: Optional[TriPlan] = None):
