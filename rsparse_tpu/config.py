@@ -39,3 +39,22 @@ def enable_x64() -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    _enable_compilation_cache(jax)
+
+
+def _enable_compilation_cache(jax) -> None:
+    """Persistent XLA compilation cache. Remote TPU compiles through the
+    runtime tunnel cost tens of seconds each; the level-scheduled factor
+    kernels compile a small ladder of shapes that this cache makes a
+    one-time cost per machine."""
+    import os
+
+    cache = os.environ.get(
+        "RSPARSE_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs
+        pass

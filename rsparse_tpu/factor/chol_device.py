@@ -41,6 +41,16 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (int(x) - 1).bit_length())
 
 
+def _pow4(x: int) -> int:
+    """Next power of 4 — a coarse shape ladder (1,4,16,64,256,…) so device
+    kernels compile for a handful of shapes instead of one per level (each
+    remote TPU compile costs tens of seconds through the runtime tunnel)."""
+    p = 1
+    while p < x:
+        p *= 4
+    return p
+
+
 @dataclasses.dataclass
 class CholPlan:
     n: int
@@ -87,58 +97,66 @@ def build_chol_plan(c: Sprs, s: Symb, level_batch: int = 4096) -> CholPlan:
     nlev = int(level.max()) + 1 if n else 0
     levels = []
     for lev in range(nlev):
-        ks_all = np.nonzero(level == lev)[0]
-        r_all = rcnt[ks_all]
-        rmax = _next_pow2(max(int(r_all.max()) if len(r_all) else 0, 1))
-        for s0 in range(0, len(ks_all), level_batch):
-            ks = ks_all[s0 : s0 + level_batch]
-            K = len(ks)
-            Kp = _next_pow2(K)
-            r = rmax
-            # padded row patterns (pad with -1)
-            R = np.full((Kp, r), -1, dtype=np.int64)
-            for t, k in enumerate(ks):  # ragged copy; small per level
-                R[t, : rcnt[k]] = Rj[Rp[k] : Rp[k + 1]]
-            valid_row = R >= 0
-            Rc = np.where(valid_row, R, 0)
-            kcol = np.zeros(Kp, dtype=np.int64)
-            kcol[:K] = ks
-            # M(a,b) = L(R[a], R[b]) for b <= a
-            col_b = np.broadcast_to(Rc[:, None, :], (Kp, r, r))
-            row_a = np.broadcast_to(Rc[:, :, None], (Kp, r, r))
-            tri = np.tril(np.ones((r, r), bool))
-            pairs_valid = valid_row[:, :, None] & valid_row[:, None, :] & tri
-            mq = col_b * np.int64(n) + row_a
-            Midx = np.where(pairs_valid, _lookup(lkeys, lorder, mq), -1)
-            # rhs b = C(R[a], k)
-            bq = kcol[:, None] * np.int64(n) + Rc
-            bidx = np.where(valid_row, _lookup(ckeys_s, corder, bq), -1)
-            # A(k,k)
-            akk = _lookup(ckeys_s, corder, kcol * np.int64(n) + kcol)
-            akk[K:] = -1
-            # scatter positions of L(k, R[a]) and diag L(k,k)
-            zq = Rc * np.int64(n) + kcol[:, None]
-            zpos = np.where(valid_row, _lookup(lkeys, lorder, zq), lnz)
-            zpos[K:, :] = lnz
-            dpos = np.full(Kp, lnz, dtype=np.int64)
-            dpos[:K] = Lp[:-1][ks]  # diag is first entry of each column
-            vmask = np.zeros(Kp, dtype=bool)
-            vmask[:K] = True
-            levels.append(
-                (
-                    Midx.astype(np.int32),
-                    bidx.astype(np.int32),
-                    akk.astype(np.int32),
-                    zpos.astype(np.int32),
-                    dpos.astype(np.int32),
-                    vmask,
+        lev_ks = np.nonzero(level == lev)[0]
+        # bucket columns by pow4(row-pattern size): batches pad to their own
+        # bucket's r, not the level max — less wasted dense work, and the
+        # coarse ladder keeps the number of distinct kernel shapes tiny
+        buckets = {}
+        for k in lev_ks:
+            buckets.setdefault(_pow4(max(int(rcnt[k]), 1)), []).append(int(k))
+        for rmax, ks_list in sorted(buckets.items()):
+            ks_all = np.asarray(ks_list, dtype=np.int64)
+            for s0 in range(0, len(ks_all), level_batch):
+                ks = ks_all[s0 : s0 + level_batch]
+                K = len(ks)
+                Kp = _pow4(K)
+                r = rmax
+                # padded row patterns (pad with -1)
+                R = np.full((Kp, r), -1, dtype=np.int64)
+                for t, k in enumerate(ks):  # ragged copy; small per batch
+                    R[t, : rcnt[k]] = Rj[Rp[k] : Rp[k + 1]]
+                valid_row = R >= 0
+                Rc = np.where(valid_row, R, 0)
+                kcol = np.zeros(Kp, dtype=np.int64)
+                kcol[:K] = ks
+                # M(a,b) = L(R[a], R[b]) for b <= a
+                col_b = np.broadcast_to(Rc[:, None, :], (Kp, r, r))
+                row_a = np.broadcast_to(Rc[:, :, None], (Kp, r, r))
+                tri = np.tril(np.ones((r, r), bool))
+                pairs_valid = valid_row[:, :, None] & valid_row[:, None, :] & tri
+                mq = col_b * np.int64(n) + row_a
+                Midx = np.where(pairs_valid, _lookup(lkeys, lorder, mq), -1)
+                # rhs b = C(R[a], k)
+                bq = kcol[:, None] * np.int64(n) + Rc
+                bidx = np.where(valid_row, _lookup(ckeys_s, corder, bq), -1)
+                # A(k,k)
+                akk = _lookup(ckeys_s, corder, kcol * np.int64(n) + kcol)
+                akk[K:] = -1
+                # scatter positions of L(k, R[a]) and diag L(k,k)
+                zq = Rc * np.int64(n) + kcol[:, None]
+                zpos = np.where(valid_row, _lookup(lkeys, lorder, zq), lnz)
+                zpos[K:, :] = lnz
+                dpos = np.full(Kp, lnz, dtype=np.int64)
+                dpos[:K] = Lp[:-1][ks]  # diag is first entry of each column
+                vmask = np.zeros(Kp, dtype=bool)
+                vmask[:K] = True
+                levels.append(
+                    (
+                        Midx.astype(np.int32),
+                        bidx.astype(np.int32),
+                        akk.astype(np.int32),
+                        zpos.astype(np.int32),
+                        dpos.astype(np.int32),
+                        vmask,
+                    )
                 )
-            )
     return CholPlan(n=n, lnz=lnz, Lp=Lp, Li=Li, levels=levels)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _chol_level(Lx, Cx, Midx, bidx, akk, zpos, dpos, vmask):
+def _chol_step(Lx, tensors, consts):
+    """One level (scan step): batched dense triangular solve + scatter."""
+    (Midx, bidx, akk, zpos, dpos, vmask) = tensors
+    (Cx,) = consts
     ftype = Lx.dtype
     M = jnp.where(Midx >= 0, Lx[jnp.clip(Midx, 0, Lx.shape[0] - 1)], jnp.zeros((), ftype))
     # unit diagonal where the pattern has no entry (padding rows)
@@ -158,27 +176,21 @@ def _chol_level(Lx, Cx, Midx, bidx, akk, zpos, dpos, vmask):
 
 
 def chol_device(c: Sprs, s: Symb):
-    """Numeric Cholesky on device; c = triu(A(P,P)) with values."""
+    """Numeric Cholesky on device; c = triu(A(P,P)) with values.
+
+    Levels execute as grouped lax.scan runs (factor/_scan.py) — one launch
+    per run of same-shape levels instead of one per level.
+    """
+    from ._scan import run_grouped
+
     if s.plan is None or not isinstance(s.plan, CholPlan):
         s.plan = build_chol_plan(c, s)
     plan: CholPlan = s.plan
     Cx = jnp.asarray(c.x[: c.nnz()])
     Lx = jnp.zeros(plan.lnz + 1, dtype=Cx.dtype)  # +1 garbage slot
-    dmins = []
-    for (Midx, bidx, akk, zpos, dpos, vmask) in plan.levels:
-        Lx, dmin = _chol_level(
-            Lx,
-            Cx,
-            jnp.asarray(Midx),
-            jnp.asarray(bidx),
-            jnp.asarray(akk),
-            jnp.asarray(zpos),
-            jnp.asarray(dpos),
-            jnp.asarray(vmask),
-        )
-        dmins.append(dmin)
-    if dmins:
-        dmin = float(jnp.min(jnp.stack(dmins)))
+    Lx, dmin_groups = run_grouped(plan.levels, _chol_step, Lx, (Cx,))
+    if dmin_groups:
+        dmin = float(jnp.min(jnp.concatenate([jnp.atleast_1d(g) for g in dmin_groups])))
         # NaN-safe: a first failure is a plain d<=0, but its sqrt poisons
         # later levels' d with NaN, and NaN would swallow the min.
         if not dmin > 0.0:

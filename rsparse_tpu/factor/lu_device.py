@@ -45,6 +45,15 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (int(x) - 1).bit_length())
 
 
+def _pow4(x: int) -> int:
+    """Coarse shape ladder (1,4,16,64,…): keeps the set of compiled kernel
+    shapes tiny (remote TPU compiles cost tens of seconds each)."""
+    p = 1
+    while p < x:
+        p *= 4
+    return p
+
+
 def _lookup(keys_sorted: np.ndarray, order: np.ndarray, qkeys: np.ndarray) -> np.ndarray:
     """Positions of qkeys in a sorted key table; -1 where absent."""
     if len(keys_sorted) == 0:
@@ -120,71 +129,77 @@ def build_lu_plan(a: Sprs, s: Symb, level_batch: int = 2048) -> Optional[LUPlan]
     levels = []
     total = 0
     for lev in range(nlev):
-        ks_all = order_by_level[lev_off[lev] : lev_off[lev + 1]]
-        r_all = rcnt[ks_all]
-        l_all = lcnt[ks_all]
-        rmax = _next_pow2(max(int(r_all.max()) if len(r_all) else 0, 1))
-        lmax = _next_pow2(max(int(l_all.max()) if len(l_all) else 0, 1))
-        for s0 in range(0, len(ks_all), level_batch):
-            ks = ks_all[s0 : s0 + level_batch]
-            K = len(ks)
-            Kp = _next_pow2(K)
-            B = np.full((Kp, rmax), -1, dtype=np.int64)  # offdiag U rows
-            Lr = np.full((Kp, lmax), -1, dtype=np.int64)  # offdiag L rows
-            for t, k in enumerate(ks):
-                B[t, : rcnt[k]] = Ui[Up[k] : Up[k + 1] - 1]
-                Lr[t, : lcnt[k]] = Li[Lp[k] + 1 : Lp[k + 1]]
-            bvalid = B >= 0
-            lvalid = Lr >= 0
-            Bc = np.where(bvalid, B, 0)
-            Lc = np.where(lvalid, Lr, 0)
-            kcol = np.zeros(Kp, dtype=np.int64)
-            kcol[:K] = ks
+        lev_ks = order_by_level[lev_off[lev] : lev_off[lev + 1]]
+        # bucket columns by (pow4 r, pow4 lr) — see chol_device
+        buckets = {}
+        for k in lev_ks:
+            key = (_pow4(max(int(rcnt[k]), 1)), _pow4(max(int(lcnt[k]), 1)))
+            buckets.setdefault(key, []).append(int(k))
+        for (rmax, lmax), ks_list in sorted(buckets.items()):
+            ks_all = np.asarray(ks_list, dtype=np.int64)
+            yield_batches = range(0, len(ks_all), level_batch)
+            for s0 in yield_batches:
+                ks = ks_all[s0 : s0 + level_batch]
+                K = len(ks)
+                Kp = _pow4(K)
+                B = np.full((Kp, rmax), -1, dtype=np.int64)  # offdiag U rows
+                Lr = np.full((Kp, lmax), -1, dtype=np.int64)  # offdiag L rows
+                for t, k in enumerate(ks):
+                    B[t, : rcnt[k]] = Ui[Up[k] : Up[k + 1] - 1]
+                    Lr[t, : lcnt[k]] = Li[Lp[k] + 1 : Lp[k + 1]]
+                bvalid = B >= 0
+                lvalid = Lr >= 0
+                Bc = np.where(bvalid, B, 0)
+                Lc = np.where(lvalid, Lr, 0)
+                kcol = np.zeros(Kp, dtype=np.int64)
+                kcol[:K] = ks
 
-            # M(a,b) = L(B[a], B[b]) for b <= a (unit diag at a == b)
-            colb = np.broadcast_to(Bc[:, None, :], (Kp, rmax, rmax))
-            rowa = np.broadcast_to(Bc[:, :, None], (Kp, rmax, rmax))
-            tril = np.tril(np.ones((rmax, rmax), bool), -1)
-            pv = bvalid[:, :, None] & bvalid[:, None, :] & tril
-            Midx = np.where(pv, _lookup(lkeys, lorder, colb * np.int64(n) + rowa), -1)
-            # N(a,b) = L(Lr[a], B[b])
-            colb2 = np.broadcast_to(Bc[:, None, :], (Kp, lmax, rmax))
-            rowl = np.broadcast_to(Lc[:, :, None], (Kp, lmax, rmax))
-            pv2 = lvalid[:, :, None] & bvalid[:, None, :]
-            Nidx = np.where(pv2, _lookup(lkeys, lorder, colb2 * np.int64(n) + rowl), -1)
-            # L(k, B[b]) row of the current pivot
-            kb = kcol[:, None] * 0 + Bc  # columns
-            Kidx = np.where(bvalid, _lookup(lkeys, lorder, kb * np.int64(n) + kcol[:, None]), -1)
-            # A gathers (k-space keys)
-            bidx_u = np.where(bvalid, _lookup(akeys_s, aorder, kcol[:, None] * np.int64(n) + Bc), -1)
-            bidx_l = np.where(lvalid, _lookup(akeys_s, aorder, kcol[:, None] * np.int64(n) + Lc), -1)
-            akk = _lookup(akeys_s, aorder, kcol * np.int64(n) + kcol)
-            akk[K:] = -1
-            # scatter positions
-            upos = np.full((Kp, rmax), unz, dtype=np.int64)
-            for t, k in enumerate(ks):
-                upos[t, : rcnt[k]] = np.arange(Up[k], Up[k + 1] - 1)
-            dpos = np.full(Kp, unz, dtype=np.int64)
-            dpos[:K] = Up[ks + 1] - 1  # U diag is last entry per column
-            lpos = np.full((Kp, lmax), lnz, dtype=np.int64)
-            for t, k in enumerate(ks):
-                lpos[t, : lcnt[k]] = np.arange(Lp[k] + 1, Lp[k + 1])
-            ldiag = np.full(Kp, lnz, dtype=np.int64)
-            ldiag[:K] = Lp[ks]
-            vmask = np.zeros(Kp, dtype=bool)
-            vmask[:K] = True
-            levels.append(tuple(
-                x.astype(np.int32) if x.dtype != bool else x
-                for x in (Midx, Nidx, Kidx, bidx_u, bidx_l, akk, upos, dpos, lpos, ldiag)
-            ) + (vmask,))
-            total += Midx.size + Nidx.size
+                # M(a,b) = L(B[a], B[b]) for b <= a (unit diag at a == b)
+                colb = np.broadcast_to(Bc[:, None, :], (Kp, rmax, rmax))
+                rowa = np.broadcast_to(Bc[:, :, None], (Kp, rmax, rmax))
+                tril = np.tril(np.ones((rmax, rmax), bool), -1)
+                pv = bvalid[:, :, None] & bvalid[:, None, :] & tril
+                Midx = np.where(pv, _lookup(lkeys, lorder, colb * np.int64(n) + rowa), -1)
+                # N(a,b) = L(Lr[a], B[b])
+                colb2 = np.broadcast_to(Bc[:, None, :], (Kp, lmax, rmax))
+                rowl = np.broadcast_to(Lc[:, :, None], (Kp, lmax, rmax))
+                pv2 = lvalid[:, :, None] & bvalid[:, None, :]
+                Nidx = np.where(pv2, _lookup(lkeys, lorder, colb2 * np.int64(n) + rowl), -1)
+                # L(k, B[b]) row of the current pivot
+                kb = kcol[:, None] * 0 + Bc  # columns
+                Kidx = np.where(bvalid, _lookup(lkeys, lorder, kb * np.int64(n) + kcol[:, None]), -1)
+                # A gathers (k-space keys)
+                bidx_u = np.where(bvalid, _lookup(akeys_s, aorder, kcol[:, None] * np.int64(n) + Bc), -1)
+                bidx_l = np.where(lvalid, _lookup(akeys_s, aorder, kcol[:, None] * np.int64(n) + Lc), -1)
+                akk = _lookup(akeys_s, aorder, kcol * np.int64(n) + kcol)
+                akk[K:] = -1
+                # scatter positions
+                upos = np.full((Kp, rmax), unz, dtype=np.int64)
+                for t, k in enumerate(ks):
+                    upos[t, : rcnt[k]] = np.arange(Up[k], Up[k + 1] - 1)
+                dpos = np.full(Kp, unz, dtype=np.int64)
+                dpos[:K] = Up[ks + 1] - 1  # U diag is last entry per column
+                lpos = np.full((Kp, lmax), lnz, dtype=np.int64)
+                for t, k in enumerate(ks):
+                    lpos[t, : lcnt[k]] = np.arange(Lp[k] + 1, Lp[k + 1])
+                ldiag = np.full(Kp, lnz, dtype=np.int64)
+                ldiag[:K] = Lp[ks]
+                vmask = np.zeros(Kp, dtype=bool)
+                vmask[:K] = True
+                levels.append(tuple(
+                    x.astype(np.int32) if x.dtype != bool else x
+                    for x in (Midx, Nidx, Kidx, bidx_u, bidx_l, akk, upos, dpos, lpos, ldiag)
+                ) + (vmask,))
+                total += Midx.size + Nidx.size
     return LUPlan(n=n, lnz=lnz, unz=unz, Lp=Lp, Li=Li, Up=Up, Ui=Ui, q=q,
                   levels=levels, plan_entries=total)
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("tol",))
-def _lu_level(Lx, Ux, Ax, Midx, Nidx, Kidx, bidx_u, bidx_l, akk,
-              upos, dpos, lpos, ldiag, vmask, tol: float):
+def _lu_step(carry, tensors, consts):
+    """One level (scan step): dense tri solve for U, rank update for L."""
+    Lx, Ux = carry
+    (Midx, Nidx, Kidx, bidx_u, bidx_l, akk, upos, dpos, lpos, ldiag, vmask) = tensors
+    (Ax, tol) = consts
     ft = Lx.dtype
 
     def g(src, idx):
@@ -215,7 +230,7 @@ def _lu_level(Lx, Ux, Ax, Midx, Nidx, Kidx, bidx_u, bidx_l, akk,
     Ux = Ux.at[dpos].set(ukk, mode="drop")
     Lx = Lx.at[lpos.reshape(-1)].set(lcol.reshape(-1), mode="drop")
     Lx = Lx.at[ldiag].set(jnp.ones((), ft), mode="drop")
-    return Lx, Ux, jnp.min(margin), jnp.any(bad)
+    return (Lx, Ux), (jnp.min(margin), jnp.any(bad))
 
 
 def lu_device(a: Sprs, s: Symb, tol: float):
@@ -236,18 +251,18 @@ def lu_device(a: Sprs, s: Symb, tol: float):
         return native.lu_numeric(
             a.n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol, s.lnz, s.unz)
 
+    from ._scan import run_grouped
+
     Ax = jnp.asarray(a.x[: a.nnz()])
     Lx = jnp.zeros(plan.lnz + 1, dtype=Ax.dtype)
     Ux = jnp.zeros(plan.unz + 1, dtype=Ax.dtype)
-    margins = []
-    bads = []
-    for tensors in plan.levels:
-        args = [jnp.asarray(t) for t in tensors]
-        Lx, Ux, mg, bd = _lu_level(Lx, Ux, Ax, *args, tol=float(tol))
-        margins.append(mg)
-        bads.append(bd)
-    mg = float(jnp.min(jnp.stack(margins))) if margins else 0.0
-    bad = bool(jnp.any(jnp.stack(bads))) if bads else False
+    (Lx, Ux), aux = run_grouped(
+        plan.levels, _lu_step, (Lx, Ux), (Ax, jnp.asarray(float(tol), Ax.dtype)))
+    if aux:
+        mg = float(jnp.min(jnp.concatenate([jnp.atleast_1d(g[0]) for g in aux])))
+        bad = bool(jnp.any(jnp.concatenate([jnp.atleast_1d(g[1]) for g in aux])))
+    else:
+        mg, bad = 0.0, False
     if bad or not (mg >= 0.0):  # NaN-safe: NaN margin also falls back
         # the reference would have pivoted differently (or pivot hit zero):
         # reproduce its exact partial-pivoting semantics on the host engine

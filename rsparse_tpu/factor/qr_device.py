@@ -38,6 +38,14 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (int(x) - 1).bit_length())
 
 
+def _pow4(x: int) -> int:
+    """Coarse shape ladder (1,4,16,64,…) — see chol_device._pow4."""
+    p = 1
+    while p < x:
+        p *= 4
+    return p
+
+
 @dataclasses.dataclass
 class QRPlan:
     m2: int
@@ -98,76 +106,87 @@ def build_qr_plan(a: Sprs, s: Symb, level_batch: int = 1024) -> Optional[QRPlan]
     lev_off = np.zeros(nlev + 1, dtype=np.int64)
     np.cumsum(np.bincount(level, minlength=nlev), out=lev_off[1:])
 
+    # precompute per-column supports/reflectors once, then bucket by shape
+    pv = np.asarray(s.pinv)
+    supports_all, refls_all, vrows_all = {}, {}, {}
+    for k in range(n):
+        B = list(Ri[Rp[k] : Rp[k + 1] - 1])  # application order
+        vk = list(Vi[Vp[k] : Vp[k + 1]])  # reflector rows, diag first
+        S = set(vk) | set(B)
+        for j in B:
+            S.update(Vi[Vp[j] : Vp[j + 1]].tolist())
+        col = int(q[k]) if q is not None else int(k)
+        S.update(int(pv[i]) for i in a.i[a.p[col] : a.p[col + 1]])
+        supports_all[k] = sorted(S)
+        refls_all[k] = B
+        vrows_all[k] = vk
+
     levels = []
     total = 0
     for lev in range(nlev):
-        ks_all = order_by_level[lev_off[lev] : lev_off[lev + 1]]
-        for s0 in range(0, len(ks_all), level_batch):
-            ks = ks_all[s0 : s0 + level_batch]
-            K = len(ks)
-            Kp = _next_pow2(K)
-            # per-column data
-            supports, refls, vrows = [], [], []
-            pv = np.asarray(s.pinv)
-            for k in ks:
-                B = list(Ri[Rp[k] : Rp[k + 1] - 1])  # application order
-                vk = list(Vi[Vp[k] : Vp[k + 1]])  # reflector rows, diag first
-                S = set(vk) | set(B)
-                for j in B:
-                    S.update(Vi[Vp[j] : Vp[j + 1]].tolist())
-                col = int(q[k]) if q is not None else int(k)
-                S.update(int(pv[i]) for i in a.i[a.p[col] : a.p[col + 1]])
-                supports.append(sorted(S))
-                refls.append(B)
-                vrows.append(vk)
-            smax = _next_pow2(max((len(x) for x in supports), default=1))
-            rmax = _next_pow2(max((len(x) for x in refls), default=1))
-            vmax = _next_pow2(max((len(x) for x in vrows), default=1))
-            Vmat_idx = np.full((Kp, smax, rmax), -1, dtype=np.int64)
-            beta_idx = np.full((Kp, rmax), -1, dtype=np.int64)
-            a_idx = np.full((Kp, smax), -1, dtype=np.int64)  # A values -> slots
-            rslot = np.full((Kp, rmax), smax, dtype=np.int64)  # slot of row j in S
-            rpos = np.full((Kp, rmax), rnz, dtype=np.int64)  # scatter into Rx
-            vslot = np.full((Kp, vmax), smax, dtype=np.int64)  # V(:,k) slots in S
-            vposk = np.full((Kp, vmax), vnz, dtype=np.int64)  # scatter into Vx
-            dpos = np.full(Kp, rnz, dtype=np.int64)  # R(k,k) position
-            bpos = np.full(Kp, n, dtype=np.int64)  # beta[k] position
-            for t, k in enumerate(ks):
-                S = supports[t]
-                slot_of = {row: idx for idx, row in enumerate(S)}
-                # A(:, q[k]) scatter — rows map through pinv
-                col = int(q[k]) if q is not None else int(k)
-                for p_ in range(int(a.p[col]), int(a.p[col + 1])):
-                    i = int(pinv_rows[a.i[p_]])
-                    a_idx[t, slot_of[i]] = p_
-                for c_, j in enumerate(refls[t]):
-                    beta_idx[t, c_] = j
-                    rslot[t, c_] = slot_of[j]
-                    rpos[t, c_] = Rp[k] + c_
-                    for p_ in range(int(Vp[j]), int(Vp[j + 1])):
-                        row = int(Vi[p_])
-                        if row in slot_of:
-                            Vmat_idx[t, slot_of[row], c_] = p_
-                for c_, row in enumerate(vrows[t]):
-                    vslot[t, c_] = slot_of[row]
-                    vposk[t, c_] = Vp[k] + c_
-                dpos[t] = Rp[k + 1] - 1
-                bpos[t] = k
-            vmask = np.zeros(Kp, dtype=bool)
-            vmask[:K] = True
-            levels.append(tuple(
-                x.astype(np.int32) if x.dtype != bool else x
-                for x in (Vmat_idx, beta_idx, a_idx, rslot, rpos,
-                          vslot, vposk, dpos, bpos)
-            ) + (vmask,))
-            total += Vmat_idx.size
+        lev_ks = order_by_level[lev_off[lev] : lev_off[lev + 1]]
+        buckets = {}
+        for k in lev_ks:
+            key = (_pow4(max(len(supports_all[k]), 1)),
+                   _pow4(max(len(refls_all[k]), 1)),
+                   _pow4(max(len(vrows_all[k]), 1)))
+            buckets.setdefault(key, []).append(int(k))
+        for (smax, rmax, vmax), ks_list in sorted(buckets.items()):
+            ks_all = np.asarray(ks_list, dtype=np.int64)
+            for s0 in range(0, len(ks_all), level_batch):
+                ks = ks_all[s0 : s0 + level_batch]
+                K = len(ks)
+                Kp = _pow4(K)
+                supports = [supports_all[k] for k in ks]
+                refls = [refls_all[k] for k in ks]
+                vrows = [vrows_all[k] for k in ks]
+                Vmat_idx = np.full((Kp, smax, rmax), -1, dtype=np.int64)
+                beta_idx = np.full((Kp, rmax), -1, dtype=np.int64)
+                a_idx = np.full((Kp, smax), -1, dtype=np.int64)  # A values -> slots
+                rslot = np.full((Kp, rmax), smax, dtype=np.int64)  # slot of row j in S
+                rpos = np.full((Kp, rmax), rnz, dtype=np.int64)  # scatter into Rx
+                vslot = np.full((Kp, vmax), smax, dtype=np.int64)  # V(:,k) slots in S
+                vposk = np.full((Kp, vmax), vnz, dtype=np.int64)  # scatter into Vx
+                dpos = np.full(Kp, rnz, dtype=np.int64)  # R(k,k) position
+                bpos = np.full(Kp, n, dtype=np.int64)  # beta[k] position
+                for t, k in enumerate(ks):
+                    S = supports[t]
+                    slot_of = {row: idx for idx, row in enumerate(S)}
+                    # A(:, q[k]) scatter — rows map through pinv
+                    col = int(q[k]) if q is not None else int(k)
+                    for p_ in range(int(a.p[col]), int(a.p[col + 1])):
+                        i = int(pinv_rows[a.i[p_]])
+                        a_idx[t, slot_of[i]] = p_
+                    for c_, j in enumerate(refls[t]):
+                        beta_idx[t, c_] = j
+                        rslot[t, c_] = slot_of[j]
+                        rpos[t, c_] = Rp[k] + c_
+                        for p_ in range(int(Vp[j]), int(Vp[j + 1])):
+                            row = int(Vi[p_])
+                            if row in slot_of:
+                                Vmat_idx[t, slot_of[row], c_] = p_
+                    for c_, row in enumerate(vrows[t]):
+                        vslot[t, c_] = slot_of[row]
+                        vposk[t, c_] = Vp[k] + c_
+                    dpos[t] = Rp[k + 1] - 1
+                    bpos[t] = k
+                vmask = np.zeros(Kp, dtype=bool)
+                vmask[:K] = True
+                levels.append(tuple(
+                    x.astype(np.int32) if x.dtype != bool else x
+                    for x in (Vmat_idx, beta_idx, a_idx, rslot, rpos,
+                              vslot, vposk, dpos, bpos)
+                ) + (vmask,))
+                total += Vmat_idx.size
     return QRPlan(m2=m2, n=n, vnz=vnz, rnz=rnz, Vp=Vp, Vi=Vi, Rp=Rp, Ri=Ri,
                   levels=levels, plan_entries=total)
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
-def _qr_level(Vx, Rx, Bt, Ax, Vmat_idx, beta_idx, a_idx, rslot, rpos,
-              vslot, vposk, dpos, bpos, vmask):
+def _qr_step(carry, tensors, consts):
+    """One level (scan step): compact-WY application + new reflectors."""
+    Vx, Rx, Bt = carry
+    (Vmat_idx, beta_idx, a_idx, rslot, rpos, vslot, vposk, dpos, bpos, vmask) = tensors
+    (Ax,) = consts
     ft = Vx.dtype
 
     def g(src, idx, fill=0.0):
@@ -212,7 +231,7 @@ def _qr_level(Vx, Rx, Bt, Ax, Vmat_idx, beta_idx, a_idx, rslot, rpos,
     Vx = Vx.at[vposk.reshape(-1)].set(vvals.reshape(-1), mode="drop")
     Rx = Rx.at[dpos].set(jnp.where(vmask, s_out, 0.0), mode="drop")
     Bt = Bt.at[bpos].set(jnp.where(vmask, beta_out, 0.0), mode="drop")
-    return Vx, Rx, Bt
+    return (Vx, Rx, Bt), None
 
 
 def qr_device(a: Sprs, s: Symb):
@@ -227,13 +246,13 @@ def qr_device(a: Sprs, s: Symb):
             a.m, a.n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q,
             s.parent, s.pinv, s.m2, s.lnz + 8, s.unz + 8)
 
+    from ._scan import run_grouped
+
     Ax = jnp.asarray(a.x[: a.nnz()])
     Vx = jnp.zeros(plan.vnz + 1, dtype=Ax.dtype)
     Rx = jnp.zeros(plan.rnz + 1, dtype=Ax.dtype)
     Bt = jnp.zeros(plan.n + 1, dtype=Ax.dtype)
-    for tensors in plan.levels:
-        args = [jnp.asarray(t) for t in tensors]
-        Vx, Rx, Bt = _qr_level(Vx, Rx, Bt, Ax, *args)
+    (Vx, Rx, Bt), _ = run_grouped(plan.levels, _qr_step, (Vx, Rx, Bt), (Ax,))
     return (plan.Vp, plan.Vi, np.asarray(Vx[: plan.vnz]),
             plan.Rp, plan.Ri, np.asarray(Rx[: plan.rnz]),
             np.asarray(Bt[: plan.n]))
