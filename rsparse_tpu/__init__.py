@@ -90,6 +90,7 @@ from .solve import (  # noqa: E402
     lusol,
     qrsol,
     cholsol_multi,
+    cholsol_ir,
 )
 from .symbolic import schol, sqr  # noqa: E402
 from .factor import chol, lu, qr  # noqa: E402
@@ -108,6 +109,7 @@ __all__ += [
     "lusol",
     "qrsol",
     "cholsol_multi",
+    "cholsol_ir",
     "schol",
     "sqr",
     "chol",

@@ -44,6 +44,7 @@ from ..data import Sprs
 from ..ops.plan import col_ids
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "partition_entries",
     "dist_gaxpy",
@@ -55,6 +56,21 @@ __all__ = [
     "make_refine_step",
     "refine_step",
 ]
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host pod-slice runtime init (SURVEY.md §2.5 mesh/runtime layer).
+
+    Thin wrapper over `jax.distributed.initialize` — one process per host;
+    after this, `jax.devices()` spans the slice and `make_mesh` builds the
+    global ("data","model") mesh. No-op when already initialized or when
+    running single-process (the common single-host case)."""
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized / single-process
 
 
 def make_mesh(

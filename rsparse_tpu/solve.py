@@ -32,7 +32,7 @@ from .symbolic import native
 __all__ = [
     "lsolve", "ltsolve", "usolve", "utsolve",
     "lsolve_multi", "ltsolve_multi", "usolve_multi", "utsolve_multi",
-    "cholsol", "lusol", "qrsol", "cholsol_multi", "happly_dense",
+    "cholsol", "lusol", "qrsol", "cholsol_multi", "cholsol_ir", "happly_dense",
 ]
 
 
@@ -332,6 +332,54 @@ def cholsol_multi(a: Sprs, B, order: int = 0):
     else:
         out[:] = X
     return out
+
+
+def cholsol_ir(a: Sprs, b, order: int = 0, factor_dtype: str = "float32",
+               refine: int = 2):
+    """Mixed-precision SPD solve: factor in `factor_dtype` (MXU-friendly
+    f32/bf16), then recover f64 accuracy with `refine` iterative-refinement
+    steps against the f64 matrix (SURVEY.md §7 perf-pass 10).
+
+    No reference counterpart (the reference factors at the solve dtype);
+    this is the TPU-first path — the factorization runs at MXU speed while
+    the cheap SpMV residual restores double-precision solutions.
+    """
+    import numpy as _np
+
+    from .factor import chol
+    from .symbolic import schol
+
+    n = a.n
+    a_lo = a.copy()
+    a_lo.x = a_lo.x.astype(factor_dtype)
+    s = schol(a_lo, order)
+    nm = chol(a_lo, s)
+    p0 = tri_plan(nm.l, 0)
+    p2 = tri_plan(nm.l, 2)
+    pinv = _np.asarray(s.pinv, dtype=_np.int64) if s.pinv is not None else None
+
+    def precond_solve(r):
+        x = _np.zeros(n)
+        if pinv is not None:
+            x[pinv] = r
+        else:
+            x[:] = r
+        x = _tri_solve(nm.l, x.astype(factor_dtype), 0, p0)
+        x = _tri_solve(nm.l, x, 2, p2)
+        out = _np.zeros(n)
+        if pinv is not None:
+            out[:] = _np.asarray(x, _np.float64)[pinv]
+        else:
+            out[:] = _np.asarray(x, _np.float64)
+        return out
+
+    bb = _np.asarray(b, dtype=_np.float64)
+    x = precond_solve(bb)
+    for _ in range(max(0, refine)):
+        r = bb - _np.asarray(ops.gaxpy(a, list(x), [0.0] * n))  # f64 residual
+        x = x + precond_solve(r)
+    _writeback(b, x)
+    return x
 
 
 def _tri_solve(t: Sprs, x, kind: int, plan: Optional[TriPlan] = None):

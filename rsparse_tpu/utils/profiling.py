@@ -76,3 +76,15 @@ def profile_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def sanitize():
+    """Run enclosed Pallas kernels in interpreter mode (SURVEY.md §5 "race
+    detection / sanitizers"): the interpreter executes kernel logic
+    sequentially with python-level checking — the debugging analog of a
+    sanitizer for hand-written device kernels."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield

@@ -53,3 +53,13 @@ def test_cholsol_multi_residual_large():
     sym = np.triu(d) + np.triu(d, 1).T
     R = sym @ X - B
     assert np.abs(R).max() < 1e-9
+
+
+def test_cholsol_ir_recovers_f64_accuracy():
+    a = rs.Sprs.new_from_file(f"{ASSETS}/cholsol_2.sprs")
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(a.n)
+    x64 = np.asarray(rs.cholsol(a, list(b), 0))
+    x_ir = np.asarray(rs.cholsol_ir(a, list(b), 0, "float32", refine=3))
+    # f32 factor alone is ~1e-6; refinement must reach f64-class accuracy
+    assert np.abs(x_ir - x64).max() < 1e-10
