@@ -229,12 +229,16 @@ class Sprs:
 
         Later duplicate entries overwrite earlier ones, matching the
         reference's scatter order.
+
+        >>> s = Sprs.new_from_vec([[1.0, 0.0], [2.0, 3.0]])
+        >>> s.to_dense()
+        [[1.0, 0.0], [2.0, 3.0]]
         """
         r = np.zeros((self.m, self.n), dtype=_f_dtype())
         for j in range(self.n):
             lo, hi = int(self.p[j]), int(self.p[j + 1])
             r[self.i[lo:hi], j] = self.x[lo:hi]
-        return [list(row) for row in r]
+        return [[float(v) for v in row] for row in r]
 
     def to_dense_np(self) -> np.ndarray:
         r = np.zeros((self.m, self.n), dtype=_f_dtype())

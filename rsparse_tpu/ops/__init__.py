@@ -45,6 +45,12 @@ def add(a: Sprs, b: Sprs, alpha: float = 1.0, beta: float = 1.0) -> Sprs:
 
     Output pattern is the structural union; rows within each column are
     sorted ascending (canonical form — the reference leaves scatter order).
+
+    >>> from rsparse_tpu import Sprs, add
+    >>> a = Sprs.new_from_vec([[2.0, 2.0], [1.0, 4.0]])
+    >>> b = Sprs.new_from_vec([[2.0, 4.0], [3.0, 4.0]])
+    >>> add(a, b, 1.0, 1.0).to_dense()
+    [[4.0, 6.0], [4.0, 8.0]]
     """
     jnp = _jnp()
     p = _plan.add_plan(a, b)
@@ -55,7 +61,14 @@ def add(a: Sprs, b: Sprs, alpha: float = 1.0, beta: float = 1.0) -> Sprs:
 
 
 def multiply(a: Sprs, b: Sprs) -> Sprs:
-    """C = A*B, ESC SpGEMM (reference Gustavson: src/lib.rs:713-748)."""
+    """C = A*B, ESC SpGEMM (reference Gustavson: src/lib.rs:713-748).
+
+    >>> from rsparse_tpu import Sprs, multiply
+    >>> a = Sprs.new_from_vec([[1.0, 2.0], [3.0, 4.0]])
+    >>> b = Sprs.eye(2)
+    >>> multiply(a, b).to_dense()
+    [[1.0, 2.0], [3.0, 4.0]]
+    """
     jnp = _jnp()
     p = _plan.spgemm_plan(a, b)
     ax = jnp.asarray(a.x[: a.nnz()])
@@ -65,7 +78,12 @@ def multiply(a: Sprs, b: Sprs) -> Sprs:
 
 
 def transpose(a: Sprs) -> Sprs:
-    """C = A' by stable counting sort (reference src/lib.rs:1178-1197)."""
+    """C = A' by stable counting sort (reference src/lib.rs:1178-1197).
+
+    >>> from rsparse_tpu import Sprs, transpose
+    >>> transpose(Sprs.new_from_vec([[1.0, 2.0], [0.0, 3.0]])).to_dense()
+    [[1.0, 0.0], [2.0, 3.0]]
+    """
     jnp = _jnp()
     p = _plan.transpose_plan(a)
     cx = dev.gather_values(jnp.asarray(a.x[: a.nnz()]), jnp.asarray(p.perm))
@@ -73,7 +91,13 @@ def transpose(a: Sprs) -> Sprs:
 
 
 def gaxpy(a: Sprs, x, y) -> list:
-    """r = A*x + y (reference src/lib.rs:411-421)."""
+    """r = A*x + y (reference src/lib.rs:411-421).
+
+    >>> from rsparse_tpu import Sprs, gaxpy
+    >>> a = Sprs.new_from_vec([[1.0, 2.0], [3.0, 4.0]])
+    >>> [float(v) for v in gaxpy(a, [1.0, 1.0], [0.0, 0.0])]
+    [3.0, 7.0]
+    """
     jnp = _jnp()
     nz = a.nnz()
     cols = _plan.col_ids(a.p, a.n)
@@ -89,7 +113,12 @@ def gaxpy(a: Sprs, x, y) -> list:
 
 
 def norm(a: Sprs) -> float:
-    """1-norm (max column abs-sum), reference src/lib.rs:771-782."""
+    """1-norm (max column abs-sum), reference src/lib.rs:771-782.
+
+    >>> from rsparse_tpu import Sprs, norm
+    >>> norm(Sprs.new_from_vec([[1.0, -5.0], [2.0, 1.0]]))
+    6.0
+    """
     jnp = _jnp()
     if a.n == 0 or a.nnz() == 0:
         return 0.0
