@@ -29,6 +29,10 @@ class Config:
     use_pallas: bool = os.environ.get("RSPARSE_TPU_PALLAS", "0") == "1"
     # Maximum padded batch width for level-scheduled factorization kernels.
     level_batch: int = 1024
+    # Below this operand nnz, L2 op value passes run on host numpy when the
+    # default backend is a (tunneled) TPU — per-dispatch latency dominates
+    # the arithmetic there (see ops._numeric_on_host).
+    device_ops_min_nnz: int = 2_000_000
 
 
 config = Config()

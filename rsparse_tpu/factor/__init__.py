@@ -27,8 +27,10 @@ def chol(a: Sprs, s: Symb) -> Nmrc:
 
     Raises NotPositiveDefiniteError if A is not SPD.
     """
+    from ..symbolic import _symperm_host
+
     n = a.n
-    c = ops.symperm(a, s.pinv) if s.pinv is not None else a
+    c = _symperm_host(a, s.pinv) if s.pinv is not None else a
     if config.backend == "host":
         Lp, Li, Lx = native.chol_numeric(n, c.p, c.i[: c.nnz()], c.x[: c.nnz()], s.parent, s.cp)
     else:

@@ -12,6 +12,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
+from ..config import config
 from ..data import Sprs
 from . import device as dev
 from . import plan as _plan
@@ -40,6 +41,20 @@ def _jnp():
     return jnp
 
 
+def _numeric_on_host(nnz: int) -> bool:
+    """Adaptive numeric dispatch: the L2 ops pair a host symbolic plan with
+    a device value kernel, but on a real TPU the per-dispatch latency (tens
+    of ms through the runtime tunnel) dwarfs the arithmetic for small
+    operands — so value passes below `config.device_ops_min_nnz` apply with
+    numpy on host. The CPU backend keeps the device path (tests exercise the
+    kernels there); `config.backend == "host"` forces host everywhere."""
+    if config.backend == "host":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu" and nnz < config.device_ops_min_nnz
+
+
 def add(a: Sprs, b: Sprs, alpha: float = 1.0, beta: float = 1.0) -> Sprs:
     """C = alpha*A + beta*B (reference src/lib.rs:247-271).
 
@@ -52,10 +67,15 @@ def add(a: Sprs, b: Sprs, alpha: float = 1.0, beta: float = 1.0) -> Sprs:
     >>> add(a, b, 1.0, 1.0).to_dense()
     [[4.0, 6.0], [4.0, 8.0]]
     """
-    jnp = _jnp()
     p = _plan.add_plan(a, b)
-    ax = jnp.asarray(a.x[: a.nnz()])
-    bx = jnp.asarray(b.x[: b.nnz()])
+    anz, bnz = a.nnz(), b.nnz()
+    if _numeric_on_host(anz + bnz):
+        cx = np.zeros(p.nnz, dtype=a.x.dtype)
+        np.add.at(cx, p.seg, np.concatenate([alpha * a.x[:anz], beta * b.x[:bnz]]))
+        return Sprs(p.nnz, p.m, p.n, p.out_p, p.out_i, cx)
+    jnp = _jnp()
+    ax = jnp.asarray(a.x[:anz])
+    bx = jnp.asarray(b.x[:bnz])
     cx = dev.add_values(ax, bx, jnp.asarray(alpha, ax.dtype), jnp.asarray(beta, ax.dtype), jnp.asarray(p.seg), p.nnz)
     return Sprs(p.nnz, p.m, p.n, p.out_p, p.out_i, np.asarray(cx))
 
@@ -69,8 +89,13 @@ def multiply(a: Sprs, b: Sprs) -> Sprs:
     >>> multiply(a, b).to_dense()
     [[1.0, 2.0], [3.0, 4.0]]
     """
-    jnp = _jnp()
     p = _plan.spgemm_plan(a, b)
+    if _numeric_on_host(len(p.seg)):
+        cx = np.zeros(p.nnz, dtype=a.x.dtype)
+        if len(p.seg):
+            np.add.at(cx, p.seg, a.x[p.a_idx] * b.x[p.b_idx])
+        return Sprs(p.nnz, p.m, p.n, p.out_p, p.out_i, cx)
+    jnp = _jnp()
     ax = jnp.asarray(a.x[: a.nnz()])
     bx = jnp.asarray(b.x[: b.nnz()])
     cx = dev.spgemm_values(ax, bx, jnp.asarray(p.a_idx), jnp.asarray(p.b_idx), jnp.asarray(p.seg), p.nnz)
@@ -84,8 +109,10 @@ def transpose(a: Sprs) -> Sprs:
     >>> transpose(Sprs.new_from_vec([[1.0, 2.0], [0.0, 3.0]])).to_dense()
     [[1.0, 0.0], [2.0, 3.0]]
     """
-    jnp = _jnp()
     p = _plan.transpose_plan(a)
+    if _numeric_on_host(a.nnz()):
+        return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i, a.x[: a.nnz()][p.perm])
+    jnp = _jnp()
     cx = dev.gather_values(jnp.asarray(a.x[: a.nnz()]), jnp.asarray(p.perm))
     return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i, np.asarray(cx))
 
@@ -98,9 +125,13 @@ def gaxpy(a: Sprs, x, y) -> list:
     >>> [float(v) for v in gaxpy(a, [1.0, 1.0], [0.0, 0.0])]
     [3.0, 7.0]
     """
-    jnp = _jnp()
     nz = a.nnz()
     cols = _plan.col_ids(a.p, a.n)
+    if _numeric_on_host(nz):
+        r = np.asarray(y, dtype=a.x.dtype).copy()
+        np.add.at(r, a.i[:nz], a.x[:nz] * np.asarray(x, dtype=a.x.dtype)[cols])
+        return list(r)
+    jnp = _jnp()
     r = dev.gaxpy(
         jnp.asarray(a.x[:nz]),
         jnp.asarray(a.i[:nz]),
@@ -119,15 +150,19 @@ def norm(a: Sprs) -> float:
     >>> norm(Sprs.new_from_vec([[1.0, -5.0], [2.0, 1.0]]))
     6.0
     """
-    jnp = _jnp()
     if a.n == 0 or a.nnz() == 0:
         return 0.0
     cols = _plan.col_ids(a.p, a.n)
+    if _numeric_on_host(a.nnz()):
+        return float(np.bincount(cols, weights=np.abs(a.x[: a.nnz()]), minlength=a.n).max())
+    jnp = _jnp()
     return float(dev.norm1(jnp.asarray(a.x[: a.nnz()]), jnp.asarray(cols), a.n))
 
 
 def scpmat(alpha: float, a: Sprs) -> Sprs:
     """C = alpha + A on stored entries (reference src/lib.rs:1019-1029)."""
+    if _numeric_on_host(a.nnz()):
+        return Sprs(a.nzmax, a.m, a.n, a.p.copy(), a.i.copy(), alpha + a.x)
     jnp = _jnp()
     cx = dev.scpmat_values(jnp.asarray(alpha, a.x.dtype), jnp.asarray(a.x))
     return Sprs(a.nzmax, a.m, a.n, a.p.copy(), a.i.copy(), np.asarray(cx))
@@ -135,6 +170,8 @@ def scpmat(alpha: float, a: Sprs) -> Sprs:
 
 def scxmat(alpha: float, a: Sprs) -> Sprs:
     """C = alpha * A on stored entries (reference src/lib.rs:1062-1072)."""
+    if _numeric_on_host(a.nnz()):
+        return Sprs(a.nzmax, a.m, a.n, a.p.copy(), a.i.copy(), alpha * a.x)
     jnp = _jnp()
     cx = dev.scxmat_values(jnp.asarray(alpha, a.x.dtype), jnp.asarray(a.x))
     return Sprs(a.nzmax, a.m, a.n, a.p.copy(), a.i.copy(), np.asarray(cx))
@@ -142,16 +179,20 @@ def scxmat(alpha: float, a: Sprs) -> Sprs:
 
 def permute(a: Sprs, pinv: Optional[np.ndarray], q: Optional[np.ndarray]) -> Sprs:
     """C = A(P,Q) (reference src/lib.rs:2163-2192)."""
-    jnp = _jnp()
     p = _plan.permute_plan(a, pinv, q)
+    if _numeric_on_host(a.nnz()):
+        return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i, a.x[: a.nnz()][p.perm])
+    jnp = _jnp()
     cx = dev.gather_values(jnp.asarray(a.x[: a.nnz()]), jnp.asarray(p.perm))
     return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i, np.asarray(cx))
 
 
 def symperm(a: Sprs, pinv: Optional[np.ndarray]) -> Sprs:
     """C = A(p,p) of the upper-triangular part (reference src/lib.rs:2369-2408)."""
-    jnp = _jnp()
     p = _plan.symperm_plan(a, pinv)
+    if _numeric_on_host(a.nnz()):
+        return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i, a.x[: a.nnz()][p.perm])
+    jnp = _jnp()
     cx = dev.gather_values(jnp.asarray(a.x[: a.nnz()]), jnp.asarray(p.perm))
     return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i, np.asarray(cx))
 

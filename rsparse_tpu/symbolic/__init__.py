@@ -46,13 +46,39 @@ def vcount(a: Sprs, parent):
     return native.vcount(a.m, a.n, a.p, a.i[: a.nnz()], parent)
 
 
+def _symperm_host(a: Sprs, pinv) -> Sprs:
+    """symperm with host-side value application: the symbolic phase is
+    once-per-pattern setup — paying a device round trip (and a remote TPU
+    compile) for its tiny gathers dominates wall-clock, so values move with
+    numpy here. Pattern logic is the shared planner (ops.plan.symperm_plan,
+    reference src/lib.rs:2369-2408)."""
+    import numpy as _np
+
+    from ..ops.plan import symperm_plan
+
+    p = symperm_plan(a, pinv)
+    return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i,
+                _np.asarray(a.x[: a.nnz()])[p.perm])
+
+
+def _permute_host(a: Sprs, pinv, q) -> Sprs:
+    """permute with host-side value application (see _symperm_host)."""
+    import numpy as _np
+
+    from ..ops.plan import permute_plan
+
+    p = permute_plan(a, pinv, q)
+    return Sprs(len(p.out_i), p.m, p.n, p.out_p, p.out_i,
+                _np.asarray(a.x[: a.nnz()])[p.perm])
+
+
 def schol(a: Sprs, order: int) -> Symb:
     """Ordering + symbolic analysis for Cholesky (reference src/lib.rs:968-986)."""
     n = a.n
     s = Symb()
     p = amd(a, order)
     s.pinv = ops.pinvert(p, n)
-    c = ops.symperm(a, s.pinv)
+    c = _symperm_host(a, s.pinv)
     s.parent = native.etree(c.m, c.n, c.p, c.i[: c.nnz()], False)
     pst = native.post(n, s.parent)
     cnt = native.counts(c.m, c.n, c.p, c.i[: c.nnz()], s.parent, pst, False)
@@ -68,7 +94,7 @@ def sqr(a: Sprs, order: int, qr: bool) -> Symb:
     s = Symb()
     s.q = amd(a, order)
     if qr:
-        c = ops.permute(a, None, s.q) if order >= 0 else a
+        c = _permute_host(a, None, s.q) if order >= 0 else a
         s.parent = native.etree(c.m, c.n, c.p, c.i[: c.nnz()], True)
         pst = native.post(a.n, s.parent)
         s.cp = native.counts(c.m, c.n, c.p, c.i[: c.nnz()], s.parent, pst, True)

@@ -45,3 +45,27 @@ def test_spmv_f64_plan():
     r = np.asarray(spmv_mod.spmv(a, x, p))
     want = a.to_dense_np() @ x
     np.testing.assert_allclose(r, want, rtol=1e-12, atol=1e-12)
+
+
+def test_spgemm_dia_matches_multiply():
+    a = _load("cholsol_1")
+    at = rs.transpose(a)
+    want = rs.multiply(a, at)
+    got = spmv_mod.spgemm_dia(a, at)
+    np.testing.assert_allclose(got.to_dense_np(), want.to_dense_np(),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_spgemm_dia_rectangular():
+    a = _load("qrsol_8")  # 200x201
+    at = rs.transpose(a)
+    want = rs.multiply(at, a)  # 201x201
+    got = spmv_mod.spgemm_dia(at, a)
+    np.testing.assert_allclose(got.to_dense_np(), want.to_dense_np(),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_spgemm_dia_dimension_check():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        spmv_mod.spgemm_dia(rs.Sprs.eye(3), rs.Sprs.eye(4))
