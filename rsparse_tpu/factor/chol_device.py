@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,12 +52,43 @@ def _pow4(x: int) -> int:
 
 
 @dataclasses.dataclass
+class DenseTail:
+    """Trailing-dense supernode (columns [cut, n)).
+
+    etree parents always exceed their children, so every contiguous index
+    tail is ancestor-closed: columns >= cut have all their L rows >= cut,
+    and columns < cut form a self-contained leading factor L_NN. The tail
+    then computes as dense MXU work in ONE launch instead of one launch per
+    (deep, narrow) elimination level:
+
+        W  = L_NN^{-1} C(N, T)        (batched level-scheduled solve)
+        S  = sym(C(T, T)) - Wᵀ W      (dense matmul)
+        L_TT = cholesky(S)            (dense)
+        L(T, N) = Wᵀ, scattered into the static sparse pattern.
+    """
+
+    cut: int
+    d: int
+    # L_NN level schedule (positions remapped into the FULL Lx array)
+    tri: Tuple  # (ent_pos, ent_row, ent_col, ent_slot, ent_off, col_id, col_diag, col_off, nlev, emax, wmax)
+    rhs_pos: np.ndarray  # [cut, D] C positions of C(N, T), -1 absent
+    att_pos: np.ndarray  # [D, D] C positions of triu C(T, T), -1 absent
+    l21_pos: np.ndarray  # [nnz21] scatter into Lx
+    l21_j: np.ndarray  # [nnz21] W row (column index j < cut)
+    l21_t: np.ndarray  # [nnz21] W col (t - cut)
+    ltt_pos: np.ndarray  # [nnzTT] scatter into Lx
+    ltt_r: np.ndarray
+    ltt_c: np.ndarray
+
+
+@dataclasses.dataclass
 class CholPlan:
     n: int
     lnz: int
     Lp: np.ndarray
     Li: np.ndarray
     levels: List[Tuple[np.ndarray, ...]]  # per-level static index tensors
+    tail: Optional[DenseTail] = None
 
 
 def _lookup(keys_sorted: np.ndarray, order: np.ndarray, qkeys: np.ndarray) -> np.ndarray:
@@ -70,12 +101,26 @@ def _lookup(keys_sorted: np.ndarray, order: np.ndarray, qkeys: np.ndarray) -> np
     return out.astype(np.int64)
 
 
+def _choose_cut(level: np.ndarray, n: int, target_levels: int = 48,
+                dense_tail_max: int = 2048) -> int:
+    """Largest cut with max(level[:cut]) < target_levels, tail capped."""
+    nlev = int(level.max()) + 1 if n else 0
+    if nlev <= 2 * target_levels or n <= 512:
+        return n
+    pmax = np.maximum.accumulate(level)
+    ok = np.nonzero(pmax < target_levels)[0]
+    cut = int(ok[-1]) + 1 if len(ok) else 0
+    cut = max(cut, n - dense_tail_max)
+    return cut if n - cut >= 32 else n  # tiny tails aren't worth a launch
+
+
 def build_chol_plan(c: Sprs, s: Symb, level_batch: int = 4096) -> CholPlan:
     """Build the static per-level gather/scatter tensors (host, once per
     pattern; cacheable via Symb.plan)."""
     n = c.n
     Lp, Li, Rp, Rj, level = native.chol_pattern(n, c.p, c.i[: c.nnz()], s.parent, s.cp)
     lnz = int(Lp[n])
+    cut = _choose_cut(level, n)
 
     # sorted key tables for position lookups
     from ..ops.plan import col_ids
@@ -94,10 +139,10 @@ def build_chol_plan(c: Sprs, s: Symb, level_batch: int = 4096) -> CholPlan:
     ckeys_s = ckeys[corder]
 
     rcnt = np.diff(Rp)
-    nlev = int(level.max()) + 1 if n else 0
+    nlev = int(level[:cut].max()) + 1 if cut else 0
     levels = []
     for lev in range(nlev):
-        lev_ks = np.nonzero(level == lev)[0]
+        lev_ks = np.nonzero(level[:cut] == lev)[0]
         # bucket columns by pow4(row-pattern size): batches pad to their own
         # bucket's r, not the level max — less wasted dense work, and the
         # coarse ladder keeps the number of distinct kernel shapes tiny
@@ -150,7 +195,99 @@ def build_chol_plan(c: Sprs, s: Symb, level_batch: int = 4096) -> CholPlan:
                         vmask,
                     )
                 )
-    return CholPlan(n=n, lnz=lnz, Lp=Lp, Li=Li, levels=levels)
+    tail = None
+    if cut < n:
+        tail = _build_tail(c, Lp, Li, lnz, n, cut, ckeys_s, corder)
+    return CholPlan(n=n, lnz=lnz, Lp=Lp, Li=Li, levels=levels, tail=tail)
+
+
+def _build_tail(c: Sprs, Lp, Li, lnz, n, cut, ckeys_s, corder) -> DenseTail:
+    from ..ops.plan import col_ids
+    from ..solve import tri_plan
+    from ..data import Sprs as _Sprs
+
+    D = n - cut
+    lcols = col_ids(Lp, n)
+    rows = Li
+    # L_NN pattern (cols < cut, rows < cut) with positions into the full Lx
+    mask_nn = (lcols < cut) & (rows < cut)
+    sub_pos = np.nonzero(mask_nn)[0]
+    nn_cols = lcols[sub_pos]
+    nn_rows = rows[sub_pos]
+    nn_p = np.zeros(cut + 1, dtype=np.int64)
+    np.cumsum(np.bincount(nn_cols, minlength=cut), out=nn_p[1:])
+    lnn = _Sprs(len(sub_pos), cut, cut, nn_p, nn_rows, np.zeros(len(sub_pos)))
+    tp = tri_plan(lnn, 0)
+    ent_pos = sub_pos[tp.ent_pos].astype(np.int32) if len(tp.ent_pos) else tp.ent_pos
+    col_diag = sub_pos[tp.col_diag].astype(np.int32)
+    tri = (ent_pos, tp.ent_row, tp.ent_col, tp.ent_slot, tp.ent_off,
+           tp.col_id, col_diag, tp.col_off, tp.nlev, tp.emax, tp.wmax)
+    # C gathers: rhs C(N, T) and triu C(T, T)
+    i_grid = np.arange(cut, dtype=np.int64)[:, None]
+    t_grid = (cut + np.arange(D, dtype=np.int64))[None, :]
+    rhs_pos = _lookup(ckeys_s, corder, t_grid * np.int64(n) + i_grid)
+    a_grid = (cut + np.arange(D, dtype=np.int64))[:, None]
+    att_q = t_grid * np.int64(n) + a_grid  # (row=cut+a, col=cut+t)
+    att_pos = np.where(a_grid <= t_grid, _lookup(ckeys_s, corder, att_q), -1)
+    # scatter maps
+    mask21 = (lcols < cut) & (rows >= cut)
+    p21 = np.nonzero(mask21)[0]
+    maskTT = lcols >= cut
+    pTT = np.nonzero(maskTT)[0]
+    return DenseTail(
+        cut=cut,
+        d=D,
+        tri=tri,
+        rhs_pos=rhs_pos.astype(np.int32),
+        att_pos=att_pos.astype(np.int32),
+        l21_pos=p21.astype(np.int32),
+        l21_j=lcols[p21].astype(np.int32),
+        l21_t=(rows[p21] - cut).astype(np.int32),
+        ltt_pos=pTT.astype(np.int32),
+        ltt_r=(rows[pTT] - cut).astype(np.int32),
+        ltt_c=(lcols[pTT] - cut).astype(np.int32),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("nlev", "emax", "wmax", "cut"))
+def _chol_tail_kernel(Lx, Cx, rhs_pos, att_pos, l21_pos, l21_j, l21_t,
+                      ltt_pos, ltt_r, ltt_c,
+                      ent_pos, ent_row, ent_col, ent_slot, ent_off,
+                      col_id, col_diag, col_off,
+                      nlev: int, emax: int, wmax: int, cut: int):
+    from ..solve import _tri_sweep_multi
+
+    ft = Lx.dtype
+    rhs = jnp.where(rhs_pos >= 0,
+                    Cx[jnp.clip(rhs_pos, 0, Cx.shape[0] - 1)],
+                    jnp.zeros((), ft))
+    W = _tri_sweep_multi(Lx, rhs, ent_pos, ent_row, ent_col, ent_slot,
+                         ent_off, col_id, col_diag, col_off,
+                         nlev, emax, wmax, cut, True)
+    Att = jnp.where(att_pos >= 0,
+                    Cx[jnp.clip(att_pos, 0, Cx.shape[0] - 1)],
+                    jnp.zeros((), ft))
+    Asym = Att + Att.T - jnp.diag(jnp.diagonal(Att))
+    S = Asym - W.T @ W
+    Ls = jnp.linalg.cholesky(S)
+    dmin = jnp.min(jnp.diagonal(Ls))  # NaN if not SPD
+    Lx = Lx.at[l21_pos].set(W[l21_j, l21_t], mode="drop")
+    Lx = Lx.at[ltt_pos].set(Ls[ltt_r, ltt_c], mode="drop")
+    return Lx, dmin
+
+
+def _chol_tail_run(Lx, Cx, tail: DenseTail):
+    """Single-launch dense trailing-supernode factorization."""
+    (ent_pos, ent_row, ent_col, ent_slot, ent_off,
+     col_id, col_diag, col_off, nlev, emax, wmax) = tail.tri
+    j = jnp.asarray
+    return _chol_tail_kernel(
+        Lx, Cx, j(tail.rhs_pos), j(tail.att_pos), j(tail.l21_pos),
+        j(tail.l21_j), j(tail.l21_t), j(tail.ltt_pos), j(tail.ltt_r),
+        j(tail.ltt_c), j(ent_pos), j(ent_row), j(ent_col), j(ent_slot),
+        j(ent_off), j(col_id), j(col_diag), j(col_off),
+        nlev=nlev, emax=emax, wmax=wmax, cut=tail.cut)
 
 
 def _chol_step(Lx, tensors, consts):
@@ -189,6 +326,9 @@ def chol_device(c: Sprs, s: Symb):
     Cx = jnp.asarray(c.x[: c.nnz()])
     Lx = jnp.zeros(plan.lnz + 1, dtype=Cx.dtype)  # +1 garbage slot
     Lx, dmin_groups = run_grouped(plan.levels, _chol_step, Lx, (Cx,))
+    if plan.tail is not None:
+        Lx, dmin_tail = _chol_tail_run(Lx, Cx, plan.tail)
+        dmin_groups = list(dmin_groups) + [dmin_tail]
     if dmin_groups:
         dmin = float(jnp.min(jnp.concatenate([jnp.atleast_1d(g) for g in dmin_groups])))
         # NaN-safe: a first failure is a plain d<=0, but its sqrt poisons

@@ -73,7 +73,15 @@ def _permute_host(a: Sprs, pinv, q) -> Sprs:
 
 
 def schol(a: Sprs, order: int) -> Symb:
-    """Ordering + symbolic analysis for Cholesky (reference src/lib.rs:968-986)."""
+    """Ordering + symbolic analysis for Cholesky (reference src/lib.rs:968-986).
+
+    TPU extension: when a fill-reducing ordering is in play (order >= 0) the
+    permutation is composed with the elimination-tree postorder. This leaves
+    solutions unchanged (any symmetric permutation is admissible) but makes
+    every contiguous index tail ancestor-closed — the property the device
+    factorization's trailing-dense supernode relies on. Natural order
+    (order < 0) stays untouched for exact reference parity.
+    """
     n = a.n
     s = Symb()
     p = amd(a, order)
@@ -81,6 +89,14 @@ def schol(a: Sprs, order: int) -> Symb:
     c = _symperm_host(a, s.pinv)
     s.parent = native.etree(c.m, c.n, c.p, c.i[: c.nnz()], False)
     pst = native.post(n, s.parent)
+    if p is not None and not np.array_equal(pst, np.arange(n)):
+        # compose: new permutation p' = p[post]; redo the analysis on the
+        # postordered system (its own postorder is then the identity)
+        p = np.asarray(p, dtype=np.int64)[pst]
+        s.pinv = ops.pinvert(p, n)
+        c = _symperm_host(a, s.pinv)
+        s.parent = native.etree(c.m, c.n, c.p, c.i[: c.nnz()], False)
+        pst = native.post(n, s.parent)
     cnt = native.counts(c.m, c.n, c.p, c.i[: c.nnz()], s.parent, pst, False)
     s.cp = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(cnt, out=s.cp[1:])
