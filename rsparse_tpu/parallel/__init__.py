@@ -53,6 +53,7 @@ __all__ = [
     "DistTriPlan",
     "dist_tri_plan",
     "dist_tri_solve",
+    "dist_cholsol",
     "make_refine_step",
     "refine_step",
 ]
@@ -332,6 +333,34 @@ def dist_tri_solve(t: Sprs, x, kind: int, mesh: Mesh, axis: str = "model",
         jnp.asarray(p.col_id),
         jnp.asarray(p.col_diag),
     )
+
+
+def dist_cholsol(a: Sprs, b, mesh: Mesh, order: int = 0, axis: str = "model"):
+    """Distributed A\\b for SPD A: host symbolic + factorization once, then
+    both triangular sweeps as SPMD level-scheduled solves over the mesh
+    (SURVEY.md §7 step 9: partitioned SpTRSV -> multi-host cholsol).
+
+    Semantics match single-chip `solve.cholsol` (reference
+    src/lib.rs:377-389)."""
+    import rsparse_tpu as _rs
+
+    n = a.n
+    s = _rs.schol(a, order)
+    nm = _rs.chol(a, s)
+    bb = np.asarray(b, dtype=np.float64)
+    x = np.zeros(n)
+    if s.pinv is not None:
+        x[np.asarray(s.pinv, dtype=np.int64)] = bb
+    else:
+        x[:] = bb
+    x = np.asarray(dist_tri_solve(nm.l, x, 0, mesh, axis))
+    x = np.asarray(dist_tri_solve(nm.l, x, 2, mesh, axis))
+    out = np.zeros(n)
+    if s.pinv is not None:
+        out[:] = x[np.asarray(s.pinv, dtype=np.int64)]
+    else:
+        out[:] = x
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -132,3 +132,12 @@ def test_dist_spgemm_rectangular(mesh):
     got = par.dist_spgemm(at, a, mesh)
     assert np.array_equal(want.p, got.p)
     np.testing.assert_allclose(got.x, want.x, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_cholsol_matches_single_chip(mesh):
+    a = _load("cholsol_2")
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(a.n)
+    want = np.asarray(rs.cholsol(a, list(b), 0))
+    got = np.asarray(par.dist_cholsol(a, b, mesh, 0))
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
