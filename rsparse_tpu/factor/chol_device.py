@@ -143,14 +143,15 @@ def build_chol_plan(c: Sprs, s: Symb, level_batch: int = 4096) -> CholPlan:
     levels = []
     for lev in range(nlev):
         lev_ks = np.nonzero(level[:cut] == lev)[0]
-        # bucket columns by pow4(row-pattern size): batches pad to their own
-        # bucket's r, not the level max — less wasted dense work, and the
-        # coarse ladder keeps the number of distinct kernel shapes tiny
-        buckets = {}
-        for k in lev_ks:
-            buckets.setdefault(_pow4(max(int(rcnt[k]), 1)), []).append(int(k))
-        for rmax, ks_list in sorted(buckets.items()):
-            ks_all = np.asarray(ks_list, dtype=np.int64)
+        # ONE batch per level, both dims snapped to the pow4 ladder: padding
+        # costs some dense flops, but consecutive levels then share shapes
+        # and fuse into single lax.scan launches (factor/_scan.py) — launch
+        # count, not arithmetic, dominates level-scheduled factorization
+        if len(lev_ks) == 0:
+            continue
+        rmax = _pow4(max(int(rcnt[lev_ks].max()), 1))
+        if True:
+            ks_all = lev_ks
             for s0 in range(0, len(ks_all), level_batch):
                 ks = ks_all[s0 : s0 + level_batch]
                 K = len(ks)
@@ -164,22 +165,33 @@ def build_chol_plan(c: Sprs, s: Symb, level_batch: int = 4096) -> CholPlan:
                 Rc = np.where(valid_row, R, 0)
                 kcol = np.zeros(Kp, dtype=np.int64)
                 kcol[:K] = ks
-                # M(a,b) = L(R[a], R[b]) for b <= a
+                # M(a,b) = L(R[a], R[b]) for b <= a — lookups run only on the
+                # valid (unpadded) entries: padding can dominate the tensor
+                # volume, but never the true flop count
                 col_b = np.broadcast_to(Rc[:, None, :], (Kp, r, r))
                 row_a = np.broadcast_to(Rc[:, :, None], (Kp, r, r))
                 tri = np.tril(np.ones((r, r), bool))
                 pairs_valid = valid_row[:, :, None] & valid_row[:, None, :] & tri
-                mq = col_b * np.int64(n) + row_a
-                Midx = np.where(pairs_valid, _lookup(lkeys, lorder, mq), -1)
+                Midx = np.full((Kp, r, r), -1, dtype=np.int64)
+                if pairs_valid.any():
+                    Midx[pairs_valid] = _lookup(
+                        lkeys, lorder,
+                        col_b[pairs_valid] * np.int64(n) + row_a[pairs_valid])
                 # rhs b = C(R[a], k)
-                bq = kcol[:, None] * np.int64(n) + Rc
-                bidx = np.where(valid_row, _lookup(ckeys_s, corder, bq), -1)
+                bidx = np.full((Kp, r), -1, dtype=np.int64)
+                if valid_row.any():
+                    bq = (np.broadcast_to(kcol[:, None], (Kp, r))[valid_row]
+                          * np.int64(n) + Rc[valid_row])
+                    bidx[valid_row] = _lookup(ckeys_s, corder, bq)
                 # A(k,k)
                 akk = _lookup(ckeys_s, corder, kcol * np.int64(n) + kcol)
                 akk[K:] = -1
                 # scatter positions of L(k, R[a]) and diag L(k,k)
-                zq = Rc * np.int64(n) + kcol[:, None]
-                zpos = np.where(valid_row, _lookup(lkeys, lorder, zq), lnz)
+                zpos = np.full((Kp, r), lnz, dtype=np.int64)
+                if valid_row.any():
+                    zq = (Rc[valid_row] * np.int64(n)
+                          + np.broadcast_to(kcol[:, None], (Kp, r))[valid_row])
+                    zpos[valid_row] = _lookup(lkeys, lorder, zq)
                 zpos[K:, :] = lnz
                 dpos = np.full(Kp, lnz, dtype=np.int64)
                 dpos[:K] = Lp[:-1][ks]  # diag is first entry of each column

@@ -303,18 +303,19 @@ def utsolve_multi(u: Sprs, X, plan: Optional[TriPlan] = None):
     return _tri_solve_multi(u, X, 3, plan)
 
 
-def cholsol_multi(a: Sprs, B, order: int = 0):
+def cholsol_multi(a: Sprs, B, order: int = 0, *, sym: Optional[Symb] = None):
     """Batched SPD solve: B is [n, nrhs]; returns X with A@X = B.
 
     No reference counterpart (the reference is single-RHS only); this is the
     TPU-first serving path — one symbolic analysis + factorization amortized
-    over a lane-aligned RHS batch.
+    over a lane-aligned RHS batch. Pass `sym` to reuse the analysis/plans
+    across calls with the same pattern.
     """
     from .factor import chol
     from .symbolic import schol
 
     n = a.n
-    s = schol(a, order)
+    s = sym if sym is not None else schol(a, order)
     nm = chol(a, s)
     Bm = np.asarray(B, dtype=np.float64)
     X = np.zeros_like(Bm)
@@ -469,15 +470,20 @@ def happly_dense(v: Sprs, k: int, beta: float, x: np.ndarray) -> None:
 # ---------------------------------------------------------------------------
 
 
-def cholsol(a: Sprs, b, order: int = 0):
-    """x = A\\b for SPD A via Cholesky; b overwritten with the solution."""
+def cholsol(a: Sprs, b, order: int = 0, *, sym: Optional[Symb] = None):
+    """x = A\\b for SPD A via Cholesky; b overwritten with the solution.
+
+    `sym` (TPU extension, not in the reference API): pass a Symb from a
+    previous `schol(a, order)` to reuse the ordering, level schedule and
+    compiled device plans across solves with the same sparsity pattern.
+    """
     from .factor import chol
     from .symbolic import schol
     from .utils.profiling import phase_timer
 
     n = a.n
     with phase_timer("cholsol.symbolic", nnz=a.nnz()):
-        s = schol(a, order)
+        s = sym if sym is not None else schol(a, order)
     with phase_timer("cholsol.factor", nnz=s.lnz):
         nm = chol(a, s)
     x = np.zeros(n, dtype=np.float64)
@@ -492,15 +498,20 @@ def cholsol(a: Sprs, b, order: int = 0):
     return out
 
 
-def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6):
-    """x = A\\b via LU with partial pivoting; b overwritten with the solution."""
+def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6,
+          *, sym: Optional[Symb] = None):
+    """x = A\\b via LU with partial pivoting; b overwritten with the solution.
+
+    `sym` (TPU extension): reuse a previous `sqr(a, order, False)` analysis
+    (and its device plans) across solves with the same sparsity pattern.
+    """
     from .factor import lu
     from .symbolic import sqr
     from .utils.profiling import phase_timer
 
     n = a.n
     with phase_timer("lusol.symbolic", nnz=a.nnz()):
-        s = sqr(a, order, False)
+        s = sym if sym is not None else sqr(a, order, False)
     with phase_timer("lusol.factor", nnz=a.nnz()):
         nm = lu(a, s, tol)
     x = np.zeros(n, dtype=np.float64)

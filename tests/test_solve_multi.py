@@ -63,3 +63,18 @@ def test_cholsol_ir_recovers_f64_accuracy():
     x_ir = np.asarray(rs.cholsol_ir(a, list(b), 0, "float32", refine=3))
     # f32 factor alone is ~1e-6; refinement must reach f64-class accuracy
     assert np.abs(x_ir - x64).max() < 1e-10
+
+
+def test_sym_reuse_across_solves():
+    a = rs.Sprs.new_from_file(f"{ASSETS}/cholsol_2.sprs")
+    s = rs.schol(a, 0)
+    rng = np.random.default_rng(4)
+    b1 = rng.standard_normal(a.n)
+    b2 = rng.standard_normal(a.n)
+    x1 = np.asarray(rs.cholsol(a, list(b1), 0, sym=s))
+    x2 = np.asarray(rs.cholsol(a, list(b2), 0, sym=s))
+    assert s.plan is not None  # device plan cached on the Symb
+    np.testing.assert_allclose(x1, np.asarray(rs.cholsol(a, list(b1), 0)),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(x2, np.asarray(rs.cholsol(a, list(b2), 0)),
+                               rtol=1e-12, atol=1e-12)
