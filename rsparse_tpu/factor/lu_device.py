@@ -130,15 +130,16 @@ def build_lu_plan(a: Sprs, s: Symb, level_batch: int = 2048) -> Optional[LUPlan]
     total = 0
     for lev in range(nlev):
         lev_ks = order_by_level[lev_off[lev] : lev_off[lev + 1]]
-        # bucket columns by (pow4 r, pow4 lr) — see chol_device
-        buckets = {}
-        for k in lev_ks:
-            key = (_pow4(max(int(rcnt[k]), 1)), _pow4(max(int(lcnt[k]), 1)))
-            buckets.setdefault(key, []).append(int(k))
-        for (rmax, lmax), ks_list in sorted(buckets.items()):
-            ks_all = np.asarray(ks_list, dtype=np.int64)
-            yield_batches = range(0, len(ks_all), level_batch)
-            for s0 in yield_batches:
+        if len(lev_ks) == 0:
+            continue
+        # one batch per level, dims snapped to the pow4 ladder so that
+        # consecutive levels share shapes and fuse into lax.scan groups
+        # (launch count dominates level-scheduled factorization)
+        rmax = _pow4(max(int(rcnt[lev_ks].max()), 1))
+        lmax = _pow4(max(int(lcnt[lev_ks].max()), 1))
+        if True:
+            ks_all = lev_ks
+            for s0 in range(0, len(ks_all), level_batch):
                 ks = ks_all[s0 : s0 + level_batch]
                 K = len(ks)
                 Kp = _pow4(K)
@@ -154,17 +155,24 @@ def build_lu_plan(a: Sprs, s: Symb, level_batch: int = 2048) -> Optional[LUPlan]
                 kcol = np.zeros(Kp, dtype=np.int64)
                 kcol[:K] = ks
 
-                # M(a,b) = L(B[a], B[b]) for b <= a (unit diag at a == b)
+                # M(a,b) = L(B[a], B[b]) for b <= a (unit diag at a == b) —
+                # lookups only on valid (unpadded) entries
                 colb = np.broadcast_to(Bc[:, None, :], (Kp, rmax, rmax))
                 rowa = np.broadcast_to(Bc[:, :, None], (Kp, rmax, rmax))
                 tril = np.tril(np.ones((rmax, rmax), bool), -1)
                 pv = bvalid[:, :, None] & bvalid[:, None, :] & tril
-                Midx = np.where(pv, _lookup(lkeys, lorder, colb * np.int64(n) + rowa), -1)
+                Midx = np.full((Kp, rmax, rmax), -1, dtype=np.int64)
+                if pv.any():
+                    Midx[pv] = _lookup(lkeys, lorder,
+                                       colb[pv] * np.int64(n) + rowa[pv])
                 # N(a,b) = L(Lr[a], B[b])
                 colb2 = np.broadcast_to(Bc[:, None, :], (Kp, lmax, rmax))
                 rowl = np.broadcast_to(Lc[:, :, None], (Kp, lmax, rmax))
                 pv2 = lvalid[:, :, None] & bvalid[:, None, :]
-                Nidx = np.where(pv2, _lookup(lkeys, lorder, colb2 * np.int64(n) + rowl), -1)
+                Nidx = np.full((Kp, lmax, rmax), -1, dtype=np.int64)
+                if pv2.any():
+                    Nidx[pv2] = _lookup(lkeys, lorder,
+                                        colb2[pv2] * np.int64(n) + rowl[pv2])
                 # L(k, B[b]) row of the current pivot
                 kb = kcol[:, None] * 0 + Bc  # columns
                 Kidx = np.where(bvalid, _lookup(lkeys, lorder, kb * np.int64(n) + kcol[:, None]), -1)

@@ -125,14 +125,15 @@ def build_qr_plan(a: Sprs, s: Symb, level_batch: int = 1024) -> Optional[QRPlan]
     total = 0
     for lev in range(nlev):
         lev_ks = order_by_level[lev_off[lev] : lev_off[lev + 1]]
-        buckets = {}
-        for k in lev_ks:
-            key = (_pow4(max(len(supports_all[k]), 1)),
-                   _pow4(max(len(refls_all[k]), 1)),
-                   _pow4(max(len(vrows_all[k]), 1)))
-            buckets.setdefault(key, []).append(int(k))
-        for (smax, rmax, vmax), ks_list in sorted(buckets.items()):
-            ks_all = np.asarray(ks_list, dtype=np.int64)
+        if len(lev_ks) == 0:
+            continue
+        # one batch per level, dims on the pow4 ladder (shape fusion — see
+        # chol_device); consecutive same-shape levels merge into one scan
+        smax = _pow4(max(max(len(supports_all[k]) for k in lev_ks), 1))
+        rmax = _pow4(max(max(len(refls_all[k]) for k in lev_ks), 1))
+        vmax = _pow4(max(max(len(vrows_all[k]) for k in lev_ks), 1))
+        if True:
+            ks_all = np.asarray(lev_ks, dtype=np.int64)
             for s0 in range(0, len(ks_all), level_batch):
                 ks = ks_all[s0 : s0 + level_batch]
                 K = len(ks)
