@@ -5,6 +5,7 @@ to_dense_*)."""
 import numpy as np
 import pytest
 
+import rsparse_tpu as rs
 from rsparse_tpu import Sprs, Trpl
 
 
@@ -149,3 +150,53 @@ def test_get_trpl():
     assert a.get(2, 2) is None
     pos, vals = a.get_all(1, 1)
     assert pos == [1, 2] and vals == [2.0, 3.0]
+
+
+def _to_sprs_pair(trpl):
+    b = rs.Sprs.new_from_trpl(trpl)
+    c = trpl.to_sprs()
+    assert b.nzmax == c.nzmax and b.m == c.m and b.n == c.n
+    assert np.array_equal(b.p, c.p) and np.array_equal(b.i, c.i)
+    assert np.array_equal(b.x, c.x)
+    return b
+
+
+def test_to_sprs_1():
+    # reference tests/basic_tests.rs to_sprs_1
+    a = rs.Trpl(3, 3, [0, 1, 2], [0, 1, 2], [2.0, 3.0, 4.0])
+    b = _to_sprs_pair(a)
+    assert b.to_dense() == [[2.0, 0.0, 0.0], [0.0, 3.0, 0.0], [0.0, 0.0, 4.0]]
+
+
+def test_to_sprs_2():
+    a = rs.Trpl(3, 4, [0, 1, 2, 0], [0, 1, 2, 1], [2.0, 3.0, 4.0, 5.0])
+    b = _to_sprs_pair(a)
+    assert b.to_dense() == [[2.0, 0.0, 0.0, 0.0], [5.0, 3.0, 0.0, 0.0],
+                            [0.0, 0.0, 4.0, 0.0]]
+
+
+def test_to_sprs_3():
+    a = rs.Trpl(3, 4, [0, 1, 2, 0, 3, 3], [0, 1, 2, 1, 2, 2],
+                [2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    b = _to_sprs_pair(a)
+    assert b.to_dense() == [[2.0, 0.0, 0.0, 0.0], [5.0, 3.0, 0.0, 0.0],
+                            [0.0, 0.0, 4.0, 7.0]]  # duplicates: last wins
+
+
+def test_to_sprs_4():
+    a = rs.Trpl(3, 4, [0, 1, 2, 0, 3, 3], [0, 1, 2, 1, 2, 2],
+                [2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    a.sum_dupl()
+    b = _to_sprs_pair(a)
+    assert b.to_dense() == [[2.0, 0.0, 0.0, 0.0], [5.0, 3.0, 0.0, 0.0],
+                            [0.0, 0.0, 4.0, 13.0]]
+
+
+def test_to_sprs_5():
+    a = rs.Trpl(3, 4, [0, 1, 2, 0, 3, 3], [0, 1, 2, 1, 2, 2],
+                [2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    for _ in range(10):
+        a.sum_dupl()  # idempotent (reference to_sprs_5)
+    b = _to_sprs_pair(a)
+    assert b.to_dense() == [[2.0, 0.0, 0.0, 0.0], [5.0, 3.0, 0.0, 0.0],
+                            [0.0, 0.0, 4.0, 13.0]]
