@@ -36,19 +36,13 @@ def _scan_fn(step: Callable, n_consts: int):
     return run
 
 
-def run_grouped(
-    levels: Sequence[Tuple[np.ndarray, ...]],
-    step: Callable,
-    carry,
-    consts: Tuple = (),
-) -> Tuple[object, List]:
-    """Run `step(carry, level_tensors, consts) -> (carry, aux)` over every
-    level, scanning over runs of identically-shaped levels.
+def stack_groups(levels: Sequence[Tuple[np.ndarray, ...]]) -> List[Tuple]:
+    """Stack runs of identically-shaped levels into device-resident tensors.
 
-    Returns (final_carry, [aux arrays — one stacked array per group]).
-    """
-    run = _scan_fn(step, len(consts))
-    aux_groups: List = []
+    The result should be CACHED on the plan object: re-uploading the plan's
+    index tensors every factorization call costs more than the launches on a
+    tunneled runtime."""
+    groups: List[Tuple] = []
     i = 0
     nlev = len(levels)
     while i < nlev:
@@ -56,12 +50,38 @@ def run_grouped(
         j = i + 1
         while j < nlev and tuple(t.shape for t in levels[j]) == shapes:
             j += 1
-        stacked = tuple(
+        groups.append(tuple(
             jnp.asarray(np.stack([levels[g][t_] for g in range(i, j)]))
             for t_ in range(len(levels[i]))
-        )
+        ))
+        i = j
+    return groups
+
+
+def run_grouped(
+    levels: Sequence[Tuple[np.ndarray, ...]],
+    step: Callable,
+    carry,
+    consts: Tuple = (),
+    cache: List = None,
+) -> Tuple[object, List]:
+    """Run `step(carry, level_tensors, consts) -> (carry, aux)` over every
+    level, scanning over runs of identically-shaped levels.
+
+    `cache` (a plain list attached to the plan) holds the device-resident
+    stacked tensors across calls; pass the same list to amortize transfers.
+    Returns (final_carry, [aux arrays — one stacked array per group]).
+    """
+    run = _scan_fn(step, len(consts))
+    if cache is not None and len(cache):
+        groups = cache
+    else:
+        groups = stack_groups(levels)
+        if cache is not None:
+            cache.extend(groups)
+    aux_groups: List = []
+    for stacked in groups:
         carry, aux = run(carry, stacked, consts)
         if aux is not None:
             aux_groups.append(aux)
-        i = j
     return carry, aux_groups

@@ -293,13 +293,16 @@ def _chol_tail_run(Lx, Cx, tail: DenseTail):
     """Single-launch dense trailing-supernode factorization."""
     (ent_pos, ent_row, ent_col, ent_slot, ent_off,
      col_id, col_diag, col_off, nlev, emax, wmax) = tail.tri
-    j = jnp.asarray
-    return _chol_tail_kernel(
-        Lx, Cx, j(tail.rhs_pos), j(tail.att_pos), j(tail.l21_pos),
-        j(tail.l21_j), j(tail.l21_t), j(tail.ltt_pos), j(tail.ltt_r),
-        j(tail.ltt_c), j(ent_pos), j(ent_row), j(ent_col), j(ent_slot),
-        j(ent_off), j(col_id), j(col_diag), j(col_off),
-        nlev=nlev, emax=emax, wmax=wmax, cut=tail.cut)
+    dev = tail.__dict__.get("_dev")
+    if dev is None:  # device-resident tensors cached across factor calls
+        j = jnp.asarray
+        dev = (j(tail.rhs_pos), j(tail.att_pos), j(tail.l21_pos),
+               j(tail.l21_j), j(tail.l21_t), j(tail.ltt_pos), j(tail.ltt_r),
+               j(tail.ltt_c), j(ent_pos), j(ent_row), j(ent_col),
+               j(ent_slot), j(ent_off), j(col_id), j(col_diag), j(col_off))
+        tail.__dict__["_dev"] = dev
+    return _chol_tail_kernel(Lx, Cx, *dev,
+                             nlev=nlev, emax=emax, wmax=wmax, cut=tail.cut)
 
 
 def _chol_step(Lx, tensors, consts):
@@ -337,7 +340,8 @@ def chol_device(c: Sprs, s: Symb):
     plan: CholPlan = s.plan
     Cx = jnp.asarray(c.x[: c.nnz()])
     Lx = jnp.zeros(plan.lnz + 1, dtype=Cx.dtype)  # +1 garbage slot
-    Lx, dmin_groups = run_grouped(plan.levels, _chol_step, Lx, (Cx,))
+    cache = plan.__dict__.setdefault("_dev_groups", [])
+    Lx, dmin_groups = run_grouped(plan.levels, _chol_step, Lx, (Cx,), cache)
     if plan.tail is not None:
         Lx, dmin_tail = _chol_tail_run(Lx, Cx, plan.tail)
         dmin_groups = list(dmin_groups) + [dmin_tail]

@@ -264,8 +264,10 @@ def lu_device(a: Sprs, s: Symb, tol: float):
     Ax = jnp.asarray(a.x[: a.nnz()])
     Lx = jnp.zeros(plan.lnz + 1, dtype=Ax.dtype)
     Ux = jnp.zeros(plan.unz + 1, dtype=Ax.dtype)
+    cache = plan.__dict__.setdefault("_dev_groups", [])
     (Lx, Ux), aux = run_grouped(
-        plan.levels, _lu_step, (Lx, Ux), (Ax, jnp.asarray(float(tol), Ax.dtype)))
+        plan.levels, _lu_step, (Lx, Ux),
+        (Ax, jnp.asarray(float(tol), Ax.dtype)), cache)
     if aux:
         mg = float(jnp.min(jnp.concatenate([jnp.atleast_1d(g[0]) for g in aux])))
         bad = bool(jnp.any(jnp.concatenate([jnp.atleast_1d(g[1]) for g in aux])))

@@ -253,7 +253,8 @@ def qr_device(a: Sprs, s: Symb):
     Vx = jnp.zeros(plan.vnz + 1, dtype=Ax.dtype)
     Rx = jnp.zeros(plan.rnz + 1, dtype=Ax.dtype)
     Bt = jnp.zeros(plan.n + 1, dtype=Ax.dtype)
-    (Vx, Rx, Bt), _ = run_grouped(plan.levels, _qr_step, (Vx, Rx, Bt), (Ax,))
+    cache = plan.__dict__.setdefault("_dev_groups", [])
+    (Vx, Rx, Bt), _ = run_grouped(plan.levels, _qr_step, (Vx, Rx, Bt), (Ax,), cache)
     return (plan.Vp, plan.Vi, np.asarray(Vx[: plan.vnz]),
             plan.Rp, plan.Ri, np.asarray(Rx[: plan.rnz]),
             np.asarray(Bt[: plan.n]))

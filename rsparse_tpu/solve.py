@@ -260,6 +260,19 @@ def _tri_sweep_multi(
     return xpad[:n]
 
 
+def _plan_dev(p: TriPlan):
+    """Device-resident schedule arrays, cached on the plan across calls."""
+    import jax.numpy as jnp
+
+    dev = p.__dict__.get("_dev")
+    if dev is None:
+        j = jnp.asarray
+        dev = (j(p.ent_pos), j(p.ent_row), j(p.ent_col), j(p.ent_slot),
+               j(p.ent_off), j(p.col_id), j(p.col_diag), j(p.col_off))
+        p.__dict__["_dev"] = dev
+    return dev
+
+
 def _tri_solve_multi(t: Sprs, X, kind: int, plan: Optional[TriPlan] = None):
     """Batched dense-RHS triangular solve: X is [n, B] (or [B, n] via .T by
     the caller). Returns the solved [n, B] matrix."""
@@ -269,14 +282,7 @@ def _tri_solve_multi(t: Sprs, X, kind: int, plan: Optional[TriPlan] = None):
     out = _tri_sweep_multi(
         jnp.asarray(t.x[: t.nnz()]),
         jnp.asarray(np.asarray(X, dtype=t.x.dtype)),
-        jnp.asarray(p.ent_pos),
-        jnp.asarray(p.ent_row),
-        jnp.asarray(p.ent_col),
-        jnp.asarray(p.ent_slot),
-        jnp.asarray(p.ent_off),
-        jnp.asarray(p.col_id),
-        jnp.asarray(p.col_diag),
-        jnp.asarray(p.col_off),
+        *_plan_dev(p),
         p.nlev,
         p.emax,
         p.wmax,
@@ -323,8 +329,14 @@ def cholsol_multi(a: Sprs, B, order: int = 0, *, sym: Optional[Symb] = None):
         X[np.asarray(s.pinv, dtype=np.int64)] = Bm
     else:
         X[:] = Bm
-    p0 = tri_plan(nm.l, 0)
-    p2 = tri_plan(nm.l, 2)
+    # sweep schedules cached on the Symb: the factor pattern is fixed per
+    # analysis, so repeated solves (sym= reuse) skip plan building/transfer
+    tc = getattr(s, "_tri_cache", None)
+    if tc is None:
+        tc = {}
+        s._tri_cache = tc
+    p0 = tc.get(0) or tc.setdefault(0, tri_plan(nm.l, 0))
+    p2 = tc.get(2) or tc.setdefault(2, tri_plan(nm.l, 2))
     X = lsolve_multi(nm.l, X, p0)
     X = ltsolve_multi(nm.l, X, p2)
     out = np.zeros_like(X)
@@ -396,14 +408,7 @@ def _tri_solve(t: Sprs, x, kind: int, plan: Optional[TriPlan] = None):
     out = _tri_sweep(
         jnp.asarray(t.x[: t.nnz()]),
         jnp.asarray(np.asarray(x, dtype=t.x.dtype)),
-        jnp.asarray(p.ent_pos),
-        jnp.asarray(p.ent_row),
-        jnp.asarray(p.ent_col),
-        jnp.asarray(p.ent_slot),
-        jnp.asarray(p.ent_off),
-        jnp.asarray(p.col_id),
-        jnp.asarray(p.col_diag),
-        jnp.asarray(p.col_off),
+        *_plan_dev(p),
         p.nlev,
         p.emax,
         p.wmax,
