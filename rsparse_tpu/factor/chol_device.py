@@ -149,7 +149,9 @@ def build_chol_plan(c: Sprs, s: Symb, level_batch: int = 4096) -> CholPlan:
         # count, not arithmetic, dominates level-scheduled factorization
         if len(lev_ks) == 0:
             continue
-        rmax = _pow4(max(int(rcnt[lev_ks].max()), 1))
+        # r pads on the pow2 ladder (flops grow ~r^3; pow4 would 64x them in
+        # the worst case), batch width on pow4 (shape fusion across levels)
+        rmax = _next_pow2(max(int(rcnt[lev_ks].max()), 1))
         if True:
             ks_all = lev_ks
             for s0 in range(0, len(ks_all), level_batch):

@@ -135,8 +135,9 @@ def build_lu_plan(a: Sprs, s: Symb, level_batch: int = 2048) -> Optional[LUPlan]
         # one batch per level, dims snapped to the pow4 ladder so that
         # consecutive levels share shapes and fuse into lax.scan groups
         # (launch count dominates level-scheduled factorization)
-        rmax = _pow4(max(int(rcnt[lev_ks].max()), 1))
-        lmax = _pow4(max(int(lcnt[lev_ks].max()), 1))
+        # pow2 for the cubic-cost dims, pow4 only for batch width
+        rmax = _next_pow2(max(int(rcnt[lev_ks].max()), 1))
+        lmax = _next_pow2(max(int(lcnt[lev_ks].max()), 1))
         if True:
             ks_all = lev_ks
             for s0 in range(0, len(ks_all), level_batch):

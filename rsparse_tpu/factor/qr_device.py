@@ -129,9 +129,10 @@ def build_qr_plan(a: Sprs, s: Symb, level_batch: int = 1024) -> Optional[QRPlan]
             continue
         # one batch per level, dims on the pow4 ladder (shape fusion — see
         # chol_device); consecutive same-shape levels merge into one scan
-        smax = _pow4(max(max(len(supports_all[k]) for k in lev_ks), 1))
-        rmax = _pow4(max(max(len(refls_all[k]) for k in lev_ks), 1))
-        vmax = _pow4(max(max(len(vrows_all[k]) for k in lev_ks), 1))
+        # pow2 for the flop-bearing dims, pow4 batch width elsewhere
+        smax = _next_pow2(max(max(len(supports_all[k]) for k in lev_ks), 1))
+        rmax = _next_pow2(max(max(len(refls_all[k]) for k in lev_ks), 1))
+        vmax = _next_pow2(max(max(len(vrows_all[k]) for k in lev_ks), 1))
         if True:
             ks_all = np.asarray(lev_ks, dtype=np.int64)
             for s0 in range(0, len(ks_all), level_batch):
