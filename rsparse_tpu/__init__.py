@@ -73,10 +73,6 @@ __all__ = [
 ]
 
 
-def _late_imports():
-    """Solver/symbolic layers import lazily to keep base import light."""
-
-
 from .solve import (  # noqa: E402
     lsolve,
     ltsolve,

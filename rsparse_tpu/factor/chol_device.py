@@ -152,8 +152,8 @@ def build_chol_plan(c: Sprs, s: Symb, level_batch: int = 4096) -> CholPlan:
         # r pads on the pow2 ladder (flops grow ~r^3; pow4 would 64x them in
         # the worst case), batch width on pow4 (shape fusion across levels)
         rmax = _next_pow2(max(int(rcnt[lev_ks].max()), 1))
+        ks_all = lev_ks
         if True:
-            ks_all = lev_ks
             for s0 in range(0, len(ks_all), level_batch):
                 ks = ks_all[s0 : s0 + level_batch]
                 K = len(ks)

@@ -138,8 +138,8 @@ def build_lu_plan(a: Sprs, s: Symb, level_batch: int = 2048) -> Optional[LUPlan]
         # pow2 for the cubic-cost dims, pow4 only for batch width
         rmax = _next_pow2(max(int(rcnt[lev_ks].max()), 1))
         lmax = _next_pow2(max(int(lcnt[lev_ks].max()), 1))
+        ks_all = lev_ks
         if True:
-            ks_all = lev_ks
             for s0 in range(0, len(ks_all), level_batch):
                 ks = ks_all[s0 : s0 + level_batch]
                 K = len(ks)
