@@ -33,6 +33,9 @@ class Config:
     # default backend is a (tunneled) TPU — per-dispatch latency dominates
     # the arithmetic there (see ops._numeric_on_host).
     device_ops_min_nnz: int = 2_000_000
+    # Minimum n for the multifrontal device Cholesky path (factor/frontal);
+    # below it, the plain level-batched kernel wins.
+    mf_min_n: int = 1500
 
 
 config = Config()

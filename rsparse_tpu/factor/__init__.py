@@ -34,7 +34,16 @@ def chol(a: Sprs, s: Symb) -> Nmrc:
     if config.backend == "host":
         Lp, Li, Lx = native.chol_numeric(n, c.p, c.i[: c.nnz()], c.x[: c.nnz()], s.parent, s.cp)
     else:
-        Lp, Li, Lx = chol_device(c, s)
+        from .frontal import build_mf_plan, chol_mf
+
+        mfp = getattr(s, "_mf_plan", "unset")
+        if mfp == "unset":
+            mfp = build_mf_plan(c, s) if n >= config.mf_min_n else None
+            s._mf_plan = mfp
+        if mfp is not None:
+            Lp, Li, Lx = chol_mf(c, s, mfp)
+        else:
+            Lp, Li, Lx = chol_device(c, s)
     nm = Nmrc()
     nm.l = Sprs(int(s.cp[n]), n, n, Lp, Li, Lx)
     return nm

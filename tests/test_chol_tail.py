@@ -17,7 +17,13 @@ def _laplacian(g):
 def test_tail_engages_and_factors_exactly():
     a = _laplacian(48)  # n=2304: enough levels to trigger the dense tail
     s = rs.schol(a, 0)
-    nm = rs.chol(a, s)
+    # force the plain level+tail path (the multifrontal path has its own test)
+    old = rs.config.mf_min_n
+    rs.config.mf_min_n = 10**9
+    try:
+        nm = rs.chol(a, s)
+    finally:
+        rs.config.mf_min_n = old
     plan = s.plan
     assert isinstance(plan, CholPlan) and plan.tail is not None
     assert plan.tail.cut + plan.tail.d == a.n

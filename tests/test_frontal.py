@@ -1,0 +1,68 @@
+"""Multifrontal device Cholesky (factor/frontal.py) vs the host oracle."""
+
+import numpy as np
+import pytest
+
+import rsparse_tpu as rs
+from rsparse_tpu.data import Sprs
+from rsparse_tpu.factor.frontal import build_mf_plan, chol_mf
+from rsparse_tpu.symbolic import _symperm_host, native
+
+
+def _laplacian(g):
+    from bench import laplacian_5pt
+
+    n, p, i, x = laplacian_5pt(g)
+    return Sprs(len(x), n, n, p, i, x)
+
+
+def test_mf_matches_host_oracle():
+    a = _laplacian(48)
+    s = rs.schol(a, 0)
+    c = _symperm_host(a, s.pinv)
+    plan = build_mf_plan(c, s)
+    assert plan is not None and len(plan.skel) < a.n // 2
+    Lp, Li, Lx = chol_mf(c, s, plan)
+    Lp2, Li2, Lx2 = native.chol_numeric(
+        a.n, c.p, c.i[: c.nnz()], c.x[: c.nnz()], s.parent, s.cp)
+    np.testing.assert_array_equal(Lp, Lp2)
+    np.testing.assert_array_equal(Li, Li2)
+    np.testing.assert_allclose(Lx, Lx2, atol=1e-10)
+
+
+def test_mf_dispatched_in_cholsol():
+    a = _laplacian(44)  # n=1936 >= mf_min_n
+    s = rs.schol(a, 0)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(a.n)
+    x = rs.cholsol(a, list(b), 0, sym=s)
+    assert getattr(s, "_mf_plan", None) is not None, "MF path must engage"
+    r = np.abs(np.asarray(rs.gaxpy(a, x, [0.0] * a.n)) - b).max()
+    assert r < 1e-9
+
+
+def test_mf_not_applicable_natural_order():
+    """Natural order has no postorder composition; build must decline."""
+    a = _laplacian(44)
+    s = rs.schol(a, -1)
+    c = a  # pinv None
+    plan = build_mf_plan(c, s)
+    # the natural-order Laplacian etree IS postordered (chain structure), so
+    # a plan may legally exist; the invariant that matters is correctness:
+    if plan is not None:
+        Lp, Li, Lx = chol_mf(c, s, plan)
+        Lp2, Li2, Lx2 = native.chol_numeric(
+            a.n, c.p, c.i[: c.nnz()], c.x[: c.nnz()], s.parent, s.cp)
+        np.testing.assert_allclose(Lx, Lx2, atol=1e-9)
+
+
+def test_mf_spd_failure():
+    a = _laplacian(44)
+    a.x = a.x.copy()
+    # poison a diagonal entry deep in a leaf front
+    j = 3
+    pos = int(a.p[j]) + int(np.where(a.i[a.p[j]:a.p[j+1]] == j)[0][0])
+    a.x[pos] = -50.0
+    s = rs.schol(a, 0)
+    with pytest.raises(rs.NotPositiveDefiniteError):
+        rs.chol(a, s)
