@@ -78,6 +78,8 @@ class FrontBucket:
     lbs_f: np.ndarray
     schur_src: np.ndarray  # [nupd] flat index into Schur [F, Bp, Bp]
     schur_dst: np.ndarray  # [nupd] position in skeleton value array
+    srow: np.ndarray  # [F, Sp] global row of each S slot (n = pad)
+    brow: np.ndarray  # [F, Bp] compact skeleton row of each B slot (ns = pad)
 
 
 @dataclasses.dataclass
@@ -208,6 +210,12 @@ def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT) -> Optional[MFPlan
         F = len(fis)
         ass_pos = np.full((F, sp, sp), -1, dtype=np.int64)
         abs_pos = np.full((F, bp, sp), -1, dtype=np.int64)
+        srow = np.full((F, sp), n, dtype=np.int64)
+        brow = np.full((F, bp), ns, dtype=np.int64)
+        for t, fi in enumerate(fis):
+            S_, B_ = fronts[fi]
+            srow[t, : len(S_)] = S_
+            brow[t, : len(B_)] = g[B_]
         lss = ([], [], [], [])  # pos, r, c, f
         lbs = ([], [], [], [])
         s_src, s_dst = [], []
@@ -256,6 +264,7 @@ def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT) -> Optional[MFPlan
             lbs_pos=np.asarray(lbs[0], np.int64), lbs_r=np.asarray(lbs[1], np.int64),
             lbs_c=np.asarray(lbs[2], np.int64), lbs_f=np.asarray(lbs[3], np.int64),
             schur_src=np.asarray(s_src, np.int64), schur_dst=np.asarray(s_dst, np.int64),
+            srow=srow, brow=brow,
         ))
 
     # ---- skeleton symbolic + plan ---------------------------------------
@@ -314,7 +323,7 @@ def _front_kernel(Lx, Csx, Cx, ass_pos, abs_pos,
     Lx = Lx.at[lss_pos].set(Lss[lss_f, lss_r, lss_c], mode="drop")
     Lx = Lx.at[lbs_pos].set(Lbs[lbs_f, lbs_r, lbs_c], mode="drop")
     Csx = Csx.at[schur_dst].add(-Schur.reshape(-1)[schur_src], mode="drop")
-    return Lx, Csx, dmin
+    return Lx, Csx, dmin, Lss, Lbs
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -333,6 +342,7 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
     Csx = _skel_assemble(Csx, Cx, jnp.asarray(plan.skel_a_src),
                          jnp.asarray(plan.skel_a_dst))
     dmins = []
+    front_vals = []
     for b in plan.buckets:
         dev = b.__dict__.get("_dev")
         if dev is None:
@@ -341,8 +351,9 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
                 b.ass_pos, b.abs_pos, b.lss_pos, b.lss_r, b.lss_c, b.lss_f,
                 b.lbs_pos, b.lbs_r, b.lbs_c, b.lbs_f, b.schur_src, b.schur_dst))
             b.__dict__["_dev"] = dev
-        Lx, Csx, dmin = _front_kernel(Lx, Csx, Cx, *dev)
+        Lx, Csx, dmin, Lss, Lbs = _front_kernel(Lx, Csx, Cx, *dev)
         dmins.append(dmin)
+        front_vals.append((Lss, Lbs))
 
     # skeleton factorization on the assembled values
     sp = plan.skel_plan
@@ -358,4 +369,91 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
     dmin = float(jnp.min(jnp.stack(dmins))) if dmins else 1.0
     if not dmin > 0.0:
         raise NotPositiveDefiniteError()
+    # cache dense factor values for the multifrontal solves (zero-gather path)
+    plan.__dict__["_solve_cache"] = {"fronts": front_vals, "Lxs": Lxs}
     return plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz])
+
+
+# ---------------------------------------------------------------------------
+# Multifrontal solves: dense front ops + small skeleton sweep, zero gathers
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("ns",))
+def _fwd_front(X, Ds, Lss, Lbs, srow, brow, ns: int):
+    """Forward front phase: z_S = Lss^{-1} b_S; accumulate Lbs z into the
+    skeleton delta Ds. X: [n+1, B] (garbage row n); Ds: [ns+1, B]."""
+    xs = X[srow]  # [F, Sp, B]
+    zs = jax.lax.linalg.triangular_solve(Lss, xs, left_side=True, lower=True)
+    X = X.at[srow].set(zs)  # padded slots write row n (garbage)
+    Ds = Ds.at[brow].add(jnp.einsum("fbs,fsk->fbk", Lbs, zs))
+    return X, Ds
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _bwd_front(X, Lss, Lbs, srow, browg):
+    """Backward front phase: x_S = Lss^{-T} (b_S - Lbsᵀ x_B). `browg` holds
+    GLOBAL row indices of B slots (n = pad)."""
+    xb = X[browg]  # [F, Bp, B]
+    bs = X[srow] - jnp.einsum("fbs,fbk->fsk", Lbs, xb)
+    xs = jax.lax.linalg.triangular_solve(
+        Lss, bs, left_side=True, lower=True, transpose_a=True)
+    return X.at[srow].set(xs)
+
+
+def _skel_tri_plans(plan: MFPlan):
+    """Lazy pattern-only sweep schedules for the compacted skeleton L."""
+    from ..solve import tri_plan
+
+    tp = plan.__dict__.get("_skel_tri")
+    if tp is None:
+        sp = plan.skel_plan
+        lnn = Sprs(sp.lnz, len(plan.skel), len(plan.skel), sp.Lp, sp.Li,
+                   np.zeros(sp.lnz))
+        tp = (tri_plan(lnn, 0), tri_plan(lnn, 2))
+        plan.__dict__["_skel_tri"] = tp
+    return tp
+
+
+def solve_mf(plan: MFPlan, X: np.ndarray) -> np.ndarray:
+    """X := L'^{-1} L^{-1} X for the factor cached by the last chol_mf call.
+
+    X is [n, B] (batched RHS). All bulk work is dense batched front ops; the
+    only sweeps run on the compacted skeleton (10-20% of the system).
+    """
+    from ..solve import _plan_dev, _tri_sweep_multi
+
+    sc = plan.__dict__.get("_solve_cache")
+    if sc is None:
+        raise RuntimeError("solve_mf requires a preceding chol_mf on this plan")
+    Lxs = sc["Lxs"]
+    p0, p2 = _skel_tri_plans(plan)
+    ns = len(plan.skel)
+    n = plan.n
+    B = X.shape[1]
+    Xd = jnp.concatenate([jnp.asarray(X, Lxs.dtype),
+                          jnp.zeros((1, B), Lxs.dtype)])
+    Ds = jnp.zeros((ns + 1, B), Lxs.dtype)
+    devs = []
+    for b in plan.buckets:
+        d = b.__dict__.get("_sdev")
+        if d is None:
+            d = (jnp.asarray(b.srow), jnp.asarray(b.brow),
+                 jnp.asarray(np.where(b.brow < ns, plan.skel[np.clip(b.brow, 0, ns - 1)], n)))
+            b.__dict__["_sdev"] = d
+        devs.append(d)
+    # forward: fronts then skeleton
+    for (Lss, Lbs), (srow, brow, _) in zip(sc["fronts"], devs):
+        Xd, Ds = _fwd_front(Xd, Ds, Lss, Lbs, srow, brow, ns=ns)
+    skel_idx = jnp.asarray(plan.skel)
+    bs = Xd[skel_idx] - Ds[:ns]
+    ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], bs, *_plan_dev(p0),
+                          p0.nlev, p0.emax, p0.wmax, p0.n, True)
+    # backward: skeleton then fronts
+    ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], ys, *_plan_dev(p2),
+                          p2.nlev, p2.emax, p2.wmax, p2.n, False)
+    Xd = Xd.at[skel_idx].set(ys)
+    for (Lss, Lbs), (srow, _, browg) in zip(reversed(sc["fronts"]),
+                                            reversed(devs)):
+        Xd = _bwd_front(Xd, Lss, Lbs, srow, browg)
+    return np.asarray(Xd[:n])

@@ -329,16 +329,22 @@ def cholsol_multi(a: Sprs, B, order: int = 0, *, sym: Optional[Symb] = None):
         X[np.asarray(s.pinv, dtype=np.int64)] = Bm
     else:
         X[:] = Bm
-    # sweep schedules cached on the Symb: the factor pattern is fixed per
-    # analysis, so repeated solves (sym= reuse) skip plan building/transfer
-    tc = getattr(s, "_tri_cache", None)
-    if tc is None:
-        tc = {}
-        s._tri_cache = tc
-    p0 = tc.get(0) or tc.setdefault(0, tri_plan(nm.l, 0))
-    p2 = tc.get(2) or tc.setdefault(2, tri_plan(nm.l, 2))
-    X = lsolve_multi(nm.l, X, p0)
-    X = ltsolve_multi(nm.l, X, p2)
+    mfp = getattr(s, "_mf_plan", None)
+    if mfp is not None and "_solve_cache" in mfp.__dict__:
+        from .factor.frontal import solve_mf
+
+        X = solve_mf(mfp, X)
+    else:
+        # sweep schedules cached on the Symb: the factor pattern is fixed
+        # per analysis, so repeated solves (sym= reuse) skip plan building
+        tc = getattr(s, "_tri_cache", None)
+        if tc is None:
+            tc = {}
+            s._tri_cache = tc
+        p0 = tc.get(0) or tc.setdefault(0, tri_plan(nm.l, 0))
+        p2 = tc.get(2) or tc.setdefault(2, tri_plan(nm.l, 2))
+        X = lsolve_multi(nm.l, X, p0)
+        X = ltsolve_multi(nm.l, X, p2)
     out = np.zeros_like(X)
     if s.pinv is not None:
         out[:] = X[np.asarray(s.pinv, dtype=np.int64)]
@@ -495,8 +501,14 @@ def cholsol(a: Sprs, b, order: int = 0, *, sym: Optional[Symb] = None):
     bb = np.asarray(b, dtype=np.float64)
     with phase_timer("cholsol.solve", nnz=2 * s.lnz):
         ops.ipvec(n, s.pinv, bb, x)  # x = P*b
-        x = lsolve(nm.l, x)  # x = L\x
-        x = ltsolve(nm.l, x)  # x = L'\x
+        mfp = getattr(s, "_mf_plan", None)
+        if mfp is not None and "_solve_cache" in mfp.__dict__:
+            from .factor.frontal import solve_mf
+
+            x = solve_mf(mfp, x[:, None])[:, 0]
+        else:
+            x = lsolve(nm.l, x)  # x = L\x
+            x = ltsolve(nm.l, x)  # x = L'\x
     out = np.zeros(n, dtype=np.float64)
     ops.pvec(n, s.pinv, x, out)  # b = P'*x
     _writeback(b, out)
