@@ -246,8 +246,28 @@ def lu_device(a: Sprs, s: Symb, tol: float):
     """Device static-pivot LU with host partial-pivot fallback.
 
     Returns (Lp, Li, Lx, Up, Ui, Ux, pinv) like the host engine; pinv is
-    identity when the static factorization is accepted.
+    identity when the static factorization is accepted. Large systems route
+    through the multifrontal path (factor/frontal_lu) first.
     """
+    if a.n >= config.mf_min_n:
+        from .frontal_lu import build_lu_mf_plan, lu_mf
+
+        mfp = getattr(s, "_mf_lu_plan", "unset")
+        if mfp == "unset":
+            try:
+                mfp = build_lu_mf_plan(a, s)
+            except Exception:
+                mfp = None
+            s._mf_lu_plan = mfp
+        if mfp is not None:
+            out = lu_mf(a, s, mfp, tol)
+            if out is not None:
+                return out
+            # stability margin rejected static pivoting
+            return native.lu_numeric(
+                a.n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol,
+                s.lnz, s.unz)
+
     plan = getattr(s, "plan", None)
     if not isinstance(plan, LUPlan):
         try:

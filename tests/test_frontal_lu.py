@@ -1,0 +1,62 @@
+"""Multifrontal static-pivot LU (factor/frontal_lu.py)."""
+
+import numpy as np
+import pytest
+
+import rsparse_tpu as rs
+from rsparse_tpu.data import Sprs
+from rsparse_tpu.factor.frontal_lu import build_lu_mf_plan, lu_mf
+from rsparse_tpu.symbolic import native
+
+
+def _dd_banded(g=48, seed=0):
+    from bench import laplacian_5pt
+
+    n, Ap, Ai, Ax = laplacian_5pt(g)
+    rng = np.random.default_rng(seed)
+    Ax = Ax * (1.0 + 0.3 * rng.standard_normal(len(Ax)))
+    a = Sprs(len(Ax), n, n, Ap, Ai, Ax)
+    d = a.to_dense_np()
+    np.fill_diagonal(d, np.abs(d).sum(1) + 1.0)
+    return Sprs.new_from_vec(d.tolist()), d
+
+
+def test_mf_lu_matches_static_oracle():
+    a, d = _dd_banded()
+    s = rs.sqr(a, -1, False)
+    plan = build_lu_mf_plan(a, s)
+    assert plan is not None
+    out = lu_mf(a, s, plan, 1e-6)
+    assert out is not None
+    Lp, Li, Lx, Up, Ui, Ux, pinv = out
+    L = np.zeros((a.n, a.n))
+    U = np.zeros((a.n, a.n))
+    for k in range(a.n):
+        L[Li[Lp[k]:Lp[k+1]], k] = Lx[Lp[k]:Lp[k+1]]
+        U[Ui[Up[k]:Up[k+1]], k] = Ux[Up[k]:Up[k+1]]
+    aq = d[:, np.asarray(s.q)] if s.q is not None else d
+    assert np.abs(L @ U - aq).max() < 1e-9
+
+
+def test_mf_lu_lusol_end_to_end():
+    a, d = _dd_banded(seed=1)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(a.n)
+    x = np.asarray(rs.lusol(a, list(b), -1, 1e-6))
+    want = np.linalg.solve(d, b)
+    np.testing.assert_allclose(x, want, rtol=1e-9, atol=1e-9)
+
+
+def test_mf_lu_margin_fallback():
+    """A tiny diagonal deep in a front must reject static pivoting and fall
+    back to the host partial-pivoting engine — solution stays exact."""
+    a, d = _dd_banded(seed=3)
+    d2 = d.copy()
+    d2[5, 5] = 1e-13
+    a2 = Sprs.new_from_vec(d2.tolist())
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal(a2.n)
+    x = np.asarray(rs.lusol(a2, list(b), -1, 1e-6))
+    want = np.linalg.solve(d2, b)
+    resid = np.abs(d2 @ x - b).max()
+    assert resid < 1e-6, resid
