@@ -288,11 +288,12 @@ def _chol_tail_kernel(Lx, Cx, rhs_pos, att_pos, l21_pos, l21_j, l21_t,
     dmin = jnp.min(jnp.diagonal(Ls))  # NaN if not SPD
     Lx = Lx.at[l21_pos].set(W[l21_j, l21_t], mode="drop")
     Lx = Lx.at[ltt_pos].set(Ls[ltt_r, ltt_c], mode="drop")
-    return Lx, dmin
+    return Lx, dmin, W, Ls
 
 
 def _chol_tail_run(Lx, Cx, tail: DenseTail):
-    """Single-launch dense trailing-supernode factorization."""
+    """Single-launch dense trailing-supernode factorization. Also caches the
+    dense factors (W = L_TNᵀ, Ls = L_TT) on the tail for tail-aware solves."""
     (ent_pos, ent_row, ent_col, ent_slot, ent_off,
      col_id, col_diag, col_off, nlev, emax, wmax) = tail.tri
     dev = tail.__dict__.get("_dev")
@@ -303,8 +304,10 @@ def _chol_tail_run(Lx, Cx, tail: DenseTail):
                j(tail.ltt_c), j(ent_pos), j(ent_row), j(ent_col),
                j(ent_slot), j(ent_off), j(col_id), j(col_diag), j(col_off))
         tail.__dict__["_dev"] = dev
-    return _chol_tail_kernel(Lx, Cx, *dev,
-                             nlev=nlev, emax=emax, wmax=wmax, cut=tail.cut)
+    Lx, dmin, W, Ls = _chol_tail_kernel(
+        Lx, Cx, *dev, nlev=nlev, emax=emax, wmax=wmax, cut=tail.cut)
+    tail.__dict__["_vals"] = (W, Ls)
+    return Lx, dmin
 
 
 def _chol_step(Lx, tensors, consts):

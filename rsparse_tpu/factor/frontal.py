@@ -402,15 +402,35 @@ def _bwd_front(X, Lss, Lbs, srow, browg):
 
 
 def _skel_tri_plans(plan: MFPlan):
-    """Lazy pattern-only sweep schedules for the compacted skeleton L."""
+    """Lazy pattern-only sweep schedules for the compacted skeleton L.
+
+    When the skeleton factor has a dense tail, the schedules cover only its
+    leading L_NN block (columns < cut) with value positions remapped into
+    the full skeleton Lxs; the tail solves run densely with the cached
+    (W, Ls) factors. Returns (p0, p2, cut) — cut == ns when no tail."""
+    from ..ops.plan import col_ids
     from ..solve import tri_plan
 
     tp = plan.__dict__.get("_skel_tri")
     if tp is None:
         sp = plan.skel_plan
-        lnn = Sprs(sp.lnz, len(plan.skel), len(plan.skel), sp.Lp, sp.Li,
-                   np.zeros(sp.lnz))
-        tp = (tri_plan(lnn, 0), tri_plan(lnn, 2))
+        ns = len(plan.skel)
+        cut = sp.tail.cut if sp.tail is not None else ns
+        lcols = col_ids(sp.Lp, ns)
+        mask = (lcols < cut) & (sp.Li < cut)
+        sub = np.nonzero(mask)[0]
+        nn_p = np.zeros(cut + 1, dtype=np.int64)
+        np.cumsum(np.bincount(lcols[sub], minlength=cut), out=nn_p[1:])
+        lnn = Sprs(len(sub), cut, cut, nn_p, sp.Li[sub], np.zeros(len(sub)))
+        p0 = tri_plan(lnn, 0)
+        p2 = tri_plan(lnn, 2)
+        # remap value positions into the full skeleton Lxs array
+        for p_ in (p0, p2):
+            object.__setattr__(p_, "ent_pos",
+                               sub[p_.ent_pos].astype(np.int32)
+                               if len(p_.ent_pos) else p_.ent_pos)
+            object.__setattr__(p_, "col_diag", sub[p_.col_diag].astype(np.int32))
+        tp = (p0, p2, cut)
         plan.__dict__["_skel_tri"] = tp
     return tp
 
@@ -427,7 +447,7 @@ def solve_mf(plan: MFPlan, X: np.ndarray) -> np.ndarray:
     if sc is None:
         raise RuntimeError("solve_mf requires a preceding chol_mf on this plan")
     Lxs = sc["Lxs"]
-    p0, p2 = _skel_tri_plans(plan)
+    p0, p2, cut = _skel_tri_plans(plan)
     ns = len(plan.skel)
     n = plan.n
     B = X.shape[1]
@@ -447,11 +467,29 @@ def solve_mf(plan: MFPlan, X: np.ndarray) -> np.ndarray:
         Xd, Ds = _fwd_front(Xd, Ds, Lss, Lbs, srow, brow, ns=ns)
     skel_idx = jnp.asarray(plan.skel)
     bs = Xd[skel_idx] - Ds[:ns]
-    ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], bs, *_plan_dev(p0),
-                          p0.nlev, p0.emax, p0.wmax, p0.n, True)
-    # backward: skeleton then fronts
-    ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], ys, *_plan_dev(p2),
-                          p2.nlev, p2.emax, p2.wmax, p2.n, False)
+    tail = plan.skel_plan.tail
+    tv = tail.__dict__.get("_vals") if tail is not None else None
+    if tv is not None:
+        # tail-aware split: sweep only L_NN; the dense trailing block solves
+        # with the cached (W = L_TN', Ls = L_TT) factors — the deep level
+        # chain at the top of the tree never enters a sweep
+        W, Ls = tv
+        y_n = _tri_sweep_multi(Lxs, bs[:cut], *_plan_dev(p0),
+                               p0.nlev, p0.emax, p0.wmax, cut, True)
+        y_t = jax.lax.linalg.triangular_solve(
+            Ls, bs[cut:] - W.T @ y_n, left_side=True, lower=True)
+        # backward: y_T first, then the L_NN' sweep
+        z_t = jax.lax.linalg.triangular_solve(
+            Ls, y_t, left_side=True, lower=True, transpose_a=True)
+        z_n = _tri_sweep_multi(Lxs, y_n - W @ z_t, *_plan_dev(p2),
+                               p2.nlev, p2.emax, p2.wmax, cut, False)
+        ys = jnp.concatenate([z_n, z_t])
+    else:
+        ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], bs, *_plan_dev(p0),
+                              p0.nlev, p0.emax, p0.wmax, p0.n, True)
+        # backward: skeleton then fronts
+        ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], ys, *_plan_dev(p2),
+                              p2.nlev, p2.emax, p2.wmax, p2.n, False)
     Xd = Xd.at[skel_idx].set(ys)
     for (Lss, Lbs), (srow, _, browg) in zip(reversed(sc["fronts"]),
                                             reversed(devs)):
