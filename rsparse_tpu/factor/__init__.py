@@ -56,6 +56,9 @@ def lu(a: Sprs, s: Symb, tol: float) -> Nmrc:
     """
     n = a.n
     if config.backend == "host":
+        mfp = getattr(s, "_mf_lu_plan", None)
+        if mfp is not None:  # host factors invalidate the device front cache
+            mfp.__dict__.pop("_solve_cache", None)
         Lp, Li, Lx, Up, Ui, Ux, pinv = native.lu_numeric(
             n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol, s.lnz, s.unz
         )

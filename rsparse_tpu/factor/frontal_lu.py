@@ -77,6 +77,9 @@ class LUFrontBucket:
     ub_c: np.ndarray
     schur_src: np.ndarray  # flat into Schur [F, Bpr, Bpc]
     schur_dst: np.ndarray  # into skeleton values
+    srow: np.ndarray  # [F, Sp] global rows of S slots (n = pad)
+    br_skel: np.ndarray  # [F, Bpr] compact skeleton index of Br rows (ns = pad)
+    bc_skel: np.ndarray  # [F, Bpc] compact skeleton index of Bc cols (ns = pad)
 
 
 @dataclasses.dataclass
@@ -260,8 +263,14 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional["LUMFPlan"]:
         lb = ([], [], [], [])
         ub = ([], [], [], [])
         s_src, s_dst = [], []
+        srow = np.full((F, sp), n, dtype=np.int64)
+        br_skel = np.full((F, bpr), ns, dtype=np.int64)
+        bc_skel = np.full((F, bpc), ns, dtype=np.int64)
         for t, fi in enumerate(fis):
             S, Br, Bc = fronts[fi]
+            srow[t, : len(S)] = S
+            br_skel[t, : len(Br)] = g[Br]
+            bc_skel[t, : len(Bc)] = g[Bc]
             aa = int(S[0])
             ls, lbr, lbc = len(S), len(Br), len(Bc)
             ass_pos[t, :ls, :ls] = _lookup(
@@ -313,6 +322,7 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional["LUMFPlan"]:
             lb_pos=arr(lb[0]), lb_f=arr(lb[1]), lb_r=arr(lb[2]), lb_c=arr(lb[3]),
             ub_pos=arr(ub[0]), ub_f=arr(ub[1]), ub_r=arr(ub[2]), ub_c=arr(ub[3]),
             schur_src=arr(s_src), schur_dst=arr(s_dst),
+            srow=srow, br_skel=br_skel, bc_skel=bc_skel,
         ))
 
     # ---- skeleton plan ---------------------------------------------------
@@ -420,7 +430,86 @@ def _lu_front_kernel(Lx, Ux, Csx, Ax, tol, ass_pos, abr_pos, abc_pos,
     Csx = Csx.at[schur_dst].add(-Schur.reshape(-1)[schur_src], mode="drop")
     margin = jnp.min(worst) - tol  # worst |piv|/colmax vs tol
     bad = jnp.any(worst == 0.0)
-    return Lx, Ux, Csx, margin, bad
+    return Lx, Ux, Csx, margin, bad, Lss, Uss, LB, UB
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _lu_fwd_front(X, Ds, Lss, LB, srow, br_skel):
+    """L forward, front phase: y_S = Lss^{-1} b_S (unit lower); accumulate
+    LB y_S into the skeleton delta."""
+    xs = X[srow]
+    ys = jax.lax.linalg.triangular_solve(Lss, xs, left_side=True, lower=True,
+                                         unit_diagonal=True)
+    X = X.at[srow].set(ys)
+    Ds = Ds.at[br_skel].add(jnp.einsum("frs,fsk->frk", LB, ys))
+    return X, Ds
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _lu_bwd_front(X, Uss, UB, srow, bc_glob):
+    """U backward, front phase: x_S = Uss^{-1} (y_S - UB x_Bc)."""
+    xb = X[bc_glob]
+    bs = X[srow] - jnp.einsum("fsc,fck->fsk", UB, xb)
+    xs = jax.lax.linalg.triangular_solve(Uss, bs, left_side=True, lower=False)
+    return X.at[srow].set(xs)
+
+
+def _lu_skel_tri_plans(plan: LUMFPlan):
+    """Lazy sweep schedules for the skeleton L (kind 0) and U (kind 1)."""
+    from ..solve import tri_plan
+
+    tp = plan.__dict__.get("_skel_tri")
+    if tp is None:
+        sp = plan.skel_plan
+        ns = len(plan.skel)
+        lsk = Sprs(sp.lnz, ns, ns, sp.Lp, sp.Li, np.zeros(sp.lnz))
+        usk = Sprs(sp.unz, ns, ns, sp.Up, sp.Ui, np.zeros(sp.unz))
+        tp = (tri_plan(lsk, 0), tri_plan(usk, 1))
+        plan.__dict__["_skel_tri"] = tp
+    return tp
+
+
+def solve_lu_mf(plan: LUMFPlan, X: np.ndarray) -> np.ndarray:
+    """X := U^{-1} L^{-1} X using the factors cached by the last lu_mf call.
+
+    X is [n, B]. Front work is dense batched triangular solves; only the
+    compact skeleton runs level sweeps."""
+    from ..solve import _plan_dev, _tri_sweep_multi
+
+    sc = plan.__dict__.get("_solve_cache")
+    if sc is None:
+        raise RuntimeError("solve_lu_mf requires a preceding lu_mf")
+    Lxs, Uxs = sc["Lxs"], sc["Uxs"]
+    p0, p1 = _lu_skel_tri_plans(plan)
+    ns = len(plan.skel)
+    n = plan.n
+    B = X.shape[1]
+    Xd = jnp.concatenate([jnp.asarray(X, Lxs.dtype),
+                          jnp.zeros((1, B), Lxs.dtype)])
+    Ds = jnp.zeros((ns + 1, B), Lxs.dtype)
+    devs = []
+    for b in plan.buckets:
+        d = b.__dict__.get("_sdev")
+        if d is None:
+            bc_glob = np.where(b.bc_skel < ns,
+                               plan.skel[np.clip(b.bc_skel, 0, ns - 1)], n)
+            d = (jnp.asarray(b.srow), jnp.asarray(b.br_skel),
+                 jnp.asarray(bc_glob))
+            b.__dict__["_sdev"] = d
+        devs.append(d)
+    for (Lss, Uss, LB, UB), (srow, br_skel, _) in zip(sc["fronts"], devs):
+        Xd, Ds = _lu_fwd_front(Xd, Ds, Lss, LB, srow, br_skel)
+    skel_idx = jnp.asarray(plan.skel)
+    bs = Xd[skel_idx] - Ds[:ns]
+    ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], bs, *_plan_dev(p0),
+                          p0.nlev, p0.emax, p0.wmax, ns, True)
+    ys = _tri_sweep_multi(Uxs[: plan.skel_plan.unz], ys, *_plan_dev(p1),
+                          p1.nlev, p1.emax, p1.wmax, ns, True)
+    Xd = Xd.at[skel_idx].set(ys)
+    for (Lss, Uss, LB, UB), (srow, _, bc_glob) in zip(reversed(sc["fronts"]),
+                                                      reversed(devs)):
+        Xd = _lu_bwd_front(Xd, Uss, UB, srow, bc_glob)
+    return np.asarray(Xd[:n])
 
 
 def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
@@ -437,6 +526,7 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
         Ax[jnp.asarray(plan.skel_a_src)], mode="drop")
     tolv = jnp.asarray(float(tol), Ax.dtype)
     margins, bads = [], []
+    front_vals = []
     for b in plan.buckets:
         dev = b.__dict__.get("_dev")
         if dev is None:
@@ -449,9 +539,11 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
                 b.ub_pos, b.ub_f, b.ub_r, b.ub_c,
                 b.schur_src, b.schur_dst))
             b.__dict__["_dev"] = dev
-        Lx, Ux, Csx, mg, bd = _lu_front_kernel(Lx, Ux, Csx, Ax, tolv, *dev)
+        Lx, Ux, Csx, mg, bd, Lss, Uss, LB, UB = _lu_front_kernel(
+            Lx, Ux, Csx, Ax, tolv, *dev)
         margins.append(mg)
         bads.append(bd)
+        front_vals.append((Lss, Uss, LB, UB))
 
     sp = plan.skel_plan
     Lxs = jnp.zeros(sp.lnz + 1, dtype=Ax.dtype)
@@ -466,11 +558,16 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
     mg = float(jnp.min(jnp.stack(margins))) if margins else 0.0
     bad = bool(jnp.any(jnp.stack(bads))) if bads else False
     if bad or not (mg >= 0.0):
-        return None  # host partial-pivoting fallback
+        # host fallback will produce different (pivoted) factors — a stale
+        # front cache must not serve solves for them
+        plan.__dict__.pop("_solve_cache", None)
+        return None
     Lx = Lx.at[jnp.asarray(plan.skel_l_dst)].set(
         Lxs[jnp.asarray(plan.skel_l_src)], mode="drop")
     Ux = Ux.at[jnp.asarray(plan.skel_u_dst)].set(
         Uxs[jnp.asarray(plan.skel_u_src)], mode="drop")
+    plan.__dict__["_solve_cache"] = {"fronts": front_vals,
+                                     "Lxs": Lxs, "Uxs": Uxs}
     pinv = np.arange(plan.n, dtype=np.int64)
     return (plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz]),
             plan.Up, plan.Ui, np.asarray(Ux[: plan.unz]), pinv)

@@ -535,8 +535,14 @@ def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6,
     bb = np.asarray(b, dtype=np.float64)
     with phase_timer("lusol.solve", nnz=s.lnz + s.unz):
         ops.ipvec(n, nm.pinv, bb, x)  # x = P*b
-        x = lsolve(nm.l, x)  # x = L\x
-        x = usolve(nm.u, x)  # x = U\x
+        mfp = getattr(s, "_mf_lu_plan", None)
+        if mfp is not None and "_solve_cache" in mfp.__dict__:
+            from .factor.frontal_lu import solve_lu_mf
+
+            x = solve_lu_mf(mfp, x[:, None])[:, 0]
+        else:
+            x = lsolve(nm.l, x)  # x = L\x
+            x = usolve(nm.u, x)  # x = U\x
     out = np.zeros(n, dtype=np.float64)
     ops.ipvec(n, s.q, x, out)  # b = Q*x
     _writeback(b, out)
