@@ -101,6 +101,11 @@ class LUMFPlan:
     skel_l_dst: np.ndarray
     skel_u_src: np.ndarray
     skel_u_dst: np.ndarray
+    # symmetric-permutation mode (order >= 0): the factorization runs on
+    # A2 = A(P, P) with s.q := P and pinv := P^{-1} returned to the driver;
+    # vperm maps a.x -> A2.x (static value permutation)
+    row_pinv: Optional[np.ndarray] = None
+    vperm: Optional[np.ndarray] = None
 
 
 def _sym_pattern_etree(a: Sprs, q: Optional[np.ndarray]):
@@ -136,16 +141,44 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional["LUMFPlan"]:
     from .lu_device import build_lu_plan, LUPlan
 
     n = a.n
-    q = np.asarray(s.q, dtype=np.int64) if s.q is not None else None
-    parent, post = _sym_pattern_etree(a, q)
-    if not np.array_equal(post, np.arange(n)):
-        if q is None:
-            return None  # natural order must stay untouched (parity)
-        q = q[post]
-        s.q = q
-        parent, post = _sym_pattern_etree(a, q)
-        if not np.array_equal(post, np.arange(n)):
+    row_pinv = None
+    vperm = None
+    if s.q is not None:
+        # GESP symmetric permutation: P = postordered AMD(A + A') applied to
+        # BOTH rows and columns — preserves the diagonal (static pivots stay
+        # structurally viable, unlike a column-only AMD(A'A)) and gives a
+        # bushy elimination tree for the fronts. Admissible because lusol's
+        # driver applies pinv (rows) and s.q (columns) consistently; the tol
+        # margin still guards numerical deviation from the reference.
+        P = native.amd(0, n, n, a.p, a.i[: a.nnz()])
+        if P is None:
+            P = np.arange(n, dtype=np.int64)
+        for _ in range(3):
+            pinvP = np.empty(n, dtype=np.int64)
+            pinvP[P] = np.arange(n)
+            from ..symbolic import _permute_host
+
+            a2 = _permute_host(a, pinvP, P)
+            parent, post = _sym_pattern_etree(a2, None)
+            if np.array_equal(post, np.arange(n)):
+                break
+            P = P[post]
+        else:
             return None
+        s.q = P
+        row_pinv = pinvP
+        from ..ops.plan import permute_plan
+
+        vperm = permute_plan(a, pinvP, P).perm
+        a_work = a2
+        q = None
+    else:
+        parent, post = _sym_pattern_etree(a, None)
+        if not np.array_equal(post, np.arange(n)):
+            return None  # natural order must stay untouched (parity)
+        a_work = a
+        q = None
+    a = a_work
 
     cap = 4 * a.nnz() + n
     try:
@@ -359,6 +392,7 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional["LUMFPlan"]:
         skel_l_dst=np.asarray(sl_dst, np.int64),
         skel_u_src=np.asarray(su_src, np.int64),
         skel_u_dst=np.asarray(su_dst, np.int64),
+        row_pinv=row_pinv, vperm=vperm,
     )
 
 
@@ -518,7 +552,10 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
     from ._scan import run_grouped
     from .lu_device import _lu_step
 
-    Ax = jnp.asarray(a.x[: a.nnz()])
+    ax_host = a.x[: a.nnz()]
+    if plan.vperm is not None:  # factorization runs on A(P, P)
+        ax_host = ax_host[plan.vperm]
+    Ax = jnp.asarray(ax_host)
     Lx = jnp.zeros(plan.lnz + 1, dtype=Ax.dtype)
     Ux = jnp.zeros(plan.unz + 1, dtype=Ax.dtype)
     Csx = jnp.zeros(plan.skel_cnnz + 1, dtype=Ax.dtype)
@@ -555,6 +592,13 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
     for gq in aux:
         margins.append(jnp.min(jnp.atleast_1d(gq[0])))
         bads.append(jnp.any(jnp.atleast_1d(gq[1])))
+    if sp.tail is not None:
+        from .lu_device import _lu_tail_run
+
+        Lxs, Uxs, mgt, bdt = _lu_tail_run(
+            Lxs, Uxs, Csx[: plan.skel_cnnz], tolv, sp.tail)
+        margins.append(mgt)
+        bads.append(bdt)
     mg = float(jnp.min(jnp.stack(margins))) if margins else 0.0
     bad = bool(jnp.any(jnp.stack(bads))) if bads else False
     if bad or not (mg >= 0.0):
@@ -568,6 +612,7 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
         Uxs[jnp.asarray(plan.skel_u_src)], mode="drop")
     plan.__dict__["_solve_cache"] = {"fronts": front_vals,
                                      "Lxs": Lxs, "Uxs": Uxs}
-    pinv = np.arange(plan.n, dtype=np.int64)
+    pinv = (plan.row_pinv if plan.row_pinv is not None
+            else np.arange(plan.n, dtype=np.int64))
     return (plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz]),
             plan.Up, plan.Ui, np.asarray(Ux[: plan.unz]), pinv)

@@ -64,6 +64,36 @@ def _lookup(keys_sorted: np.ndarray, order: np.ndarray, qkeys: np.ndarray) -> np
 
 
 @dataclasses.dataclass
+class LUDenseTail:
+    """Trailing-dense block for static-pivot LU (columns [cut, n)).
+
+    Like chol_device.DenseTail but unsymmetric, and simpler: the left-
+    looking level phase computes COLUMNS < cut in full (their tail rows
+    L_TN included), so only U_NT = L_NN^{-1} A(N,T) needs a batched sweep;
+    L_TN gathers densely from the already-computed Lx, then
+    S = A(T,T) − L_TN U_NT factors with an unpivoted dense LU whose margins
+    feed the same tol rule as the level kernels."""
+
+    cut: int
+    d: int
+    tri: Tuple  # L_NN lsolve schedule, positions into the FULL Lx
+    ant_pos: np.ndarray  # [cut, D] A positions of A(N, T)
+    att_pos: np.ndarray  # [D, D] A positions of A(T, T)
+    ltn_src: np.ndarray  # [nltn] positions in Lx of L(T, N) entries
+    ltn_r: np.ndarray  # row (t - cut)
+    ltn_c: np.ndarray  # col (j < cut)
+    unt_pos: np.ndarray  # [nunt] scatter into Ux (U(N, T) entries)
+    unt_r: np.ndarray  # row (< cut)
+    unt_c: np.ndarray  # col (t - cut)
+    ltt_pos: np.ndarray
+    ltt_r: np.ndarray
+    ltt_c: np.ndarray
+    utt_pos: np.ndarray
+    utt_r: np.ndarray
+    utt_c: np.ndarray
+
+
+@dataclasses.dataclass
 class LUPlan:
     n: int
     lnz: int
@@ -75,6 +105,7 @@ class LUPlan:
     q: Optional[np.ndarray]
     levels: List[Tuple[np.ndarray, ...]]
     plan_entries: int  # total gather-tensor volume (cost guard)
+    tail: Optional[LUDenseTail] = None
 
 
 # Beyond this many gather-tensor entries the dense-block plan is bigger than
@@ -121,10 +152,14 @@ def build_lu_plan(a: Sprs, s: Symb, level_batch: int = 2048) -> Optional[LUPlan]
     aorder = np.argsort(akeys, kind="stable")
     akeys_s = akeys[aorder]
 
-    nlev = int(level.max()) + 1 if n else 0
-    order_by_level = np.argsort(level, kind="stable")
+    from .chol_device import _choose_cut
+
+    cut = _choose_cut(level, n)
+    lev_n = level[:cut]
+    nlev = int(lev_n.max()) + 1 if cut else 0
+    order_by_level = np.argsort(lev_n, kind="stable")  # indices < cut only
     lev_off = np.zeros(nlev + 1, dtype=np.int64)
-    np.cumsum(np.bincount(level, minlength=nlev), out=lev_off[1:])
+    np.cumsum(np.bincount(lev_n, minlength=nlev), out=lev_off[1:])
 
     levels = []
     total = 0
@@ -200,8 +235,166 @@ def build_lu_plan(a: Sprs, s: Symb, level_batch: int = 2048) -> Optional[LUPlan]
                     for x in (Midx, Nidx, Kidx, bidx_u, bidx_l, akk, upos, dpos, lpos, ldiag)
                 ) + (vmask,))
                 total += Midx.size + Nidx.size
+    tail = None
+    if cut < n:
+        tail = _build_lu_tail(n, cut, Lp, Li, Up, Ui, lnz, unz,
+                              akeys_s, aorder, lcols)
     return LUPlan(n=n, lnz=lnz, unz=unz, Lp=Lp, Li=Li, Up=Up, Ui=Ui, q=q,
-                  levels=levels, plan_entries=total)
+                  levels=levels, plan_entries=total, tail=tail)
+
+
+def _build_lu_tail(n, cut, Lp, Li, Up, Ui, lnz, unz, akeys_s, aorder, lcols):
+    from ..data import Sprs as _Sprs
+    from ..solve import tri_plan
+
+    D = n - cut
+    # L_NN schedule (cols < cut, rows < cut), positions into full Lx
+    mask_nn = (lcols < cut) & (Li < cut)
+    sub = np.nonzero(mask_nn)[0]
+    nn_p = np.zeros(cut + 1, dtype=np.int64)
+    np.cumsum(np.bincount(lcols[sub], minlength=cut), out=nn_p[1:])
+    lnn = _Sprs(len(sub), cut, cut, nn_p, Li[sub], np.zeros(len(sub)))
+    tp = tri_plan(lnn, 0)
+    ent_pos = sub[tp.ent_pos].astype(np.int32) if len(tp.ent_pos) else tp.ent_pos
+    col_diag = sub[tp.col_diag].astype(np.int32)
+    tri = (ent_pos, tp.ent_row, tp.ent_col, tp.ent_slot, tp.ent_off,
+           tp.col_id, col_diag, tp.col_off, tp.nlev, tp.emax, tp.wmax)
+    i_grid = np.arange(cut, dtype=np.int64)[:, None]
+    t_grid = (cut + np.arange(D, dtype=np.int64))[None, :]
+    ant_pos = _lookup_mod(akeys_s, aorder, t_grid * np.int64(n) + i_grid)
+    a_grid = (cut + np.arange(D, dtype=np.int64))[:, None]
+    att_pos = _lookup_mod(akeys_s, aorder, t_grid * np.int64(n) + a_grid)
+    # L(T, N): entries of columns < cut with rows >= cut (already computed
+    # by the level phase — gathered densely)
+    m21 = (lcols < cut) & (Li >= cut)
+    p21 = np.nonzero(m21)[0]
+    # U(N, T): entries of columns >= cut with rows < cut (scatter targets)
+    ucols = np.repeat(np.arange(n, dtype=np.int64), np.diff(Up))
+    mnt = (ucols >= cut) & (Ui < cut)
+    pnt = np.nonzero(mnt)[0]
+    # tail-internal entries
+    mtt_l = lcols >= cut
+    ptt_l = np.nonzero(mtt_l)[0]
+    mtt_u = (ucols >= cut) & (Ui >= cut)
+    ptt_u = np.nonzero(mtt_u)[0]
+    return LUDenseTail(
+        cut=cut, d=D, tri=tri,
+        ant_pos=ant_pos.astype(np.int32),
+        att_pos=att_pos.astype(np.int32),
+        ltn_src=p21.astype(np.int32),
+        ltn_r=(Li[p21] - cut).astype(np.int32),
+        ltn_c=lcols[p21].astype(np.int32),
+        unt_pos=pnt.astype(np.int32),
+        unt_r=Ui[pnt].astype(np.int32),
+        unt_c=(ucols[pnt] - cut).astype(np.int32),
+        ltt_pos=ptt_l.astype(np.int32),
+        ltt_r=(Li[ptt_l] - cut).astype(np.int32),
+        ltt_c=(lcols[ptt_l] - cut).astype(np.int32),
+        utt_pos=ptt_u.astype(np.int32),
+        utt_r=(Ui[ptt_u] - cut).astype(np.int32),
+        utt_c=(ucols[ptt_u] - cut).astype(np.int32),
+    )
+
+
+def _lookup_mod(keys_sorted, order, qkeys):
+    return _lookup(keys_sorted, order, qkeys)
+
+
+def _unpivoted_lu_blocked(M, panel: int = 64):
+    """Unpivoted dense LU of a single [D, D] matrix, right-looking blocked
+    (panel rank-1s + MXU Schur updates — O(D³/panel) memory traffic instead
+    of O(D³)). Returns (packed LU, worst |piv|/colmax ratio)."""
+    ft = M.dtype
+    D = M.shape[0]
+    worst = jnp.asarray(jnp.inf, ft)
+    for b0 in range(0, D, panel):
+        pb = min(panel, D - b0)
+        blk = M[b0:, b0 : b0 + pb]  # [R, pb], pivot row c is local row c
+        R = blk.shape[0]
+
+        def body(c, carry):
+            blk, worst = carry
+            colc = jax.lax.dynamic_index_in_dim(blk, c, axis=1, keepdims=False)
+            piv = jax.lax.dynamic_index_in_dim(colc, c, axis=0, keepdims=False)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
+            below = rows > c
+            colmax = jnp.maximum(jnp.max(jnp.where(below, jnp.abs(colc), 0.0)),
+                                 jnp.abs(piv))
+            worst = jnp.minimum(worst, jnp.abs(piv) / jnp.maximum(colmax, 1e-300))
+            safe = jnp.where(piv == 0, jnp.ones((), ft), piv)
+            l = jnp.where(below, colc / safe, 0.0)
+            urow = jax.lax.dynamic_index_in_dim(blk, c, axis=0, keepdims=False)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (pb,), 0)
+            u = jnp.where(cols > c, urow, 0.0)
+            blk = blk - l[:, None] * u[None, :]
+            blk = jax.lax.dynamic_update_index_in_dim(
+                blk, jnp.where(below, l, colc), c, axis=1)
+            return blk, worst
+
+        blk, worst = jax.lax.fori_loop(0, pb, body, (blk, worst))
+        M = M.at[b0:, b0 : b0 + pb].set(blk)
+        if b0 + pb < D:
+            L11 = jnp.tril(blk[:pb, :pb], -1) + jnp.eye(pb, dtype=ft)
+            U12 = jax.lax.linalg.triangular_solve(
+                L11, M[b0 : b0 + pb, b0 + pb :], left_side=True, lower=True,
+                unit_diagonal=True)
+            M = M.at[b0 : b0 + pb, b0 + pb :].set(U12)
+            M = M.at[b0 + pb :, b0 + pb :].add(-blk[pb:, :pb] @ U12)
+    return M, worst
+
+
+@partial(jax.jit, donate_argnums=(0, 1),
+         static_argnames=("nlev", "emax", "wmax", "cut"))
+def _lu_tail_kernel(Lx, Ux, Ax, tol, ant_pos, att_pos,
+                    ltn_src, ltn_r, ltn_c, unt_pos, unt_r, unt_c,
+                    ltt_pos, ltt_r, ltt_c, utt_pos, utt_r, utt_c,
+                    ent_pos, ent_row, ent_col, ent_slot, ent_off,
+                    col_id, col_diag, col_off,
+                    nlev: int, emax: int, wmax: int, cut: int):
+    from ..solve import _tri_sweep_multi
+
+    ft = Lx.dtype
+
+    def g(src, idx):
+        return jnp.where(idx >= 0, src[jnp.clip(idx, 0, src.shape[0] - 1)],
+                         jnp.zeros((), ft))
+
+    rhs = g(Ax, ant_pos)  # A(N, T) [cut, D]
+    # U_NT = L_NN^{-1} A(N, T); L_NN is unit-lower with explicit unit diag
+    Unt = _tri_sweep_multi(Lx, rhs, ent_pos, ent_row, ent_col, ent_slot,
+                           ent_off, col_id, col_diag, col_off,
+                           nlev, emax, wmax, cut, True)
+    D = att_pos.shape[0]
+    Ltn = jnp.zeros((D, cut), ft).at[ltn_r, ltn_c].set(
+        Lx[jnp.clip(ltn_src, 0, Lx.shape[0] - 1)])
+    S = g(Ax, att_pos) - Ltn @ Unt
+    LUt, worst = _unpivoted_lu_blocked(S)
+    Ltt = jnp.tril(LUt, -1) + jnp.eye(D, dtype=ft)
+    Utt = jnp.triu(LUt)
+    Ux = Ux.at[unt_pos].set(Unt[unt_r, unt_c], mode="drop")
+    Lx = Lx.at[ltt_pos].set(Ltt[ltt_r, ltt_c], mode="drop")
+    Ux = Ux.at[utt_pos].set(Utt[utt_r, utt_c], mode="drop")
+    margin = jnp.min(worst) - tol
+    bad = jnp.any(worst == 0.0)
+    return Lx, Ux, margin, bad
+
+
+def _lu_tail_run(Lx, Ux, Ax, tol, tail: LUDenseTail):
+    (ent_pos, ent_row, ent_col, ent_slot, ent_off,
+     col_id, col_diag, col_off, nlev, emax, wmax) = tail.tri
+    dev = tail.__dict__.get("_dev")
+    if dev is None:
+        j = jnp.asarray
+        dev = tuple(j(t) for t in (
+            tail.ant_pos, tail.att_pos, tail.ltn_src, tail.ltn_r, tail.ltn_c,
+            tail.unt_pos, tail.unt_r, tail.unt_c,
+            tail.ltt_pos, tail.ltt_r, tail.ltt_c,
+            tail.utt_pos, tail.utt_r, tail.utt_c,
+            ent_pos, ent_row, ent_col, ent_slot, ent_off,
+            col_id, col_diag, col_off))
+        tail.__dict__["_dev"] = dev
+    return _lu_tail_kernel(Lx, Ux, Ax, tol, *dev,
+                           nlev=nlev, emax=emax, wmax=wmax, cut=tail.cut)
 
 
 def _lu_step(carry, tensors, consts):
@@ -286,12 +479,18 @@ def lu_device(a: Sprs, s: Symb, tol: float):
     Lx = jnp.zeros(plan.lnz + 1, dtype=Ax.dtype)
     Ux = jnp.zeros(plan.unz + 1, dtype=Ax.dtype)
     cache = plan.__dict__.setdefault("_dev_groups", [])
+    tolv = jnp.asarray(float(tol), Ax.dtype)
     (Lx, Ux), aux = run_grouped(
-        plan.levels, _lu_step, (Lx, Ux),
-        (Ax, jnp.asarray(float(tol), Ax.dtype)), cache)
-    if aux:
-        mg = float(jnp.min(jnp.concatenate([jnp.atleast_1d(g[0]) for g in aux])))
-        bad = bool(jnp.any(jnp.concatenate([jnp.atleast_1d(g[1]) for g in aux])))
+        plan.levels, _lu_step, (Lx, Ux), (Ax, tolv), cache)
+    mgs = [jnp.min(jnp.atleast_1d(g[0])) for g in aux]
+    bds = [jnp.any(jnp.atleast_1d(g[1])) for g in aux]
+    if plan.tail is not None:
+        Lx, Ux, mgt, bdt = _lu_tail_run(Lx, Ux, Ax, tolv, plan.tail)
+        mgs.append(mgt)
+        bds.append(bdt)
+    if mgs:
+        mg = float(jnp.min(jnp.stack(mgs)))
+        bad = bool(jnp.any(jnp.stack(bds)))
     else:
         mg, bad = 0.0, False
     if bad or not (mg >= 0.0):  # NaN-safe: NaN margin also falls back
