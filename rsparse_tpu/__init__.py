@@ -86,6 +86,7 @@ from .solve import (  # noqa: E402
     lusol,
     qrsol,
     cholsol_multi,
+    lusol_multi,
     cholsol_ir,
 )
 from .symbolic import schol, sqr  # noqa: E402
@@ -105,6 +106,7 @@ __all__ += [
     "lusol",
     "qrsol",
     "cholsol_multi",
+    "lusol_multi",
     "cholsol_ir",
     "schol",
     "sqr",

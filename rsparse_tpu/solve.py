@@ -32,7 +32,7 @@ from .symbolic import native
 __all__ = [
     "lsolve", "ltsolve", "usolve", "utsolve",
     "lsolve_multi", "ltsolve_multi", "usolve_multi", "utsolve_multi",
-    "cholsol", "lusol", "qrsol", "cholsol_multi", "cholsol_ir", "happly_dense",
+    "cholsol", "lusol", "qrsol", "cholsol_multi", "lusol_multi", "cholsol_ir", "happly_dense",
 ]
 
 
@@ -348,6 +348,42 @@ def cholsol_multi(a: Sprs, B, order: int = 0, *, sym: Optional[Symb] = None):
     out = np.zeros_like(X)
     if s.pinv is not None:
         out[:] = X[np.asarray(s.pinv, dtype=np.int64)]
+    else:
+        out[:] = X
+    return out
+
+
+def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
+                *, sym: Optional[Symb] = None):
+    """Batched LU solve: B is [n, nrhs]; returns X with A@X = B.
+
+    No reference counterpart (single-RHS only there); the TPU serving path —
+    one symbolic analysis + factorization amortized over a lane-aligned RHS
+    batch, with multifrontal front solves when the device plan is active.
+    """
+    from .factor import lu
+    from .symbolic import sqr
+
+    n = a.n
+    s = sym if sym is not None else sqr(a, order, False)
+    nm = lu(a, s, tol)
+    Bm = np.asarray(B, dtype=np.float64)
+    X = np.zeros_like(Bm)
+    if nm.pinv is not None:
+        X[np.asarray(nm.pinv, dtype=np.int64)] = Bm
+    else:
+        X[:] = Bm
+    mfp = getattr(s, "_mf_lu_plan", None)
+    if mfp is not None and "_solve_cache" in mfp.__dict__:
+        from .factor.frontal_lu import solve_lu_mf
+
+        X = solve_lu_mf(mfp, X)
+    else:
+        X = lsolve_multi(nm.l, X)
+        X = usolve_multi(nm.u, X)
+    out = np.zeros_like(X)
+    if s.q is not None:
+        out[np.asarray(s.q, dtype=np.int64)] = X
     else:
         out[:] = X
     return out

@@ -78,3 +78,14 @@ def test_sym_reuse_across_solves():
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(x2, np.asarray(rs.cholsol(a, list(b2), 0)),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_lusol_multi_matches_lusol():
+    a = rs.Sprs.new_from_file(f"{ASSETS}/lusol_3.sprs")
+    rng = np.random.default_rng(6)
+    B = rng.standard_normal((a.n, 3))
+    s = rs.sqr(a, 1, False)
+    X = rs.lusol_multi(a, B, 1, 1e-6, sym=s)
+    for c in range(3):
+        want = rs.lusol(a, list(B[:, c]), 1, 1e-6)
+        np.testing.assert_allclose(X[:, c], np.asarray(want), rtol=1e-9, atol=1e-9)
