@@ -374,10 +374,8 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional["LUMFPlan"]:
         if len(gl) != len(sl):
             return None  # pattern mismatch — bail to level path
         sl_src.extend(sl); sl_dst.extend(gl)
-        gu = [p_ for p_ in range(int(Up[jg]), int(Up[jg + 1]))
-              if not (Ui[p_] < jg and not sk_mask[Ui[p_]])]
-        # global U column jg rows: S-rows were written by fronts (ub);
-        # skeleton rows come from the compact factorization
+        # global U column jg rows: front (S) rows were written by the front
+        # kernels (ub scatter); skeleton rows come from the compact factor
         gu = [p_ for p_ in range(int(Up[jg]), int(Up[jg + 1]))
               if sk_mask[Ui[p_]] or Ui[p_] == jg]
         su = list(range(int(skel_plan.Up[jloc]), int(skel_plan.Up[jloc + 1])))
