@@ -101,6 +101,9 @@ class MFPlan:
 
 
 SMAX_DEFAULT = 64
+# skeletons larger than this recurse into another multifrontal layer
+RECURSE_MIN = 3000
+MAX_DEPTH = 4
 
 
 def _subtree_sizes(parent: np.ndarray, n: int) -> np.ndarray:
@@ -112,10 +115,14 @@ def _subtree_sizes(parent: np.ndarray, n: int) -> np.ndarray:
     return sz
 
 
-def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT) -> Optional[MFPlan]:
+def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT,
+                  depth: int = 0) -> Optional[MFPlan]:
     """Build the multifrontal plan; None when not applicable (needs a
     postordered etree, i.e. parent[k] > k and postorder == identity —
-    symbolic.schol guarantees this for order >= 0)."""
+    symbolic.schol guarantees this for order >= 0). Large skeletons RECURSE
+    into another multifrontal layer (the Schur-completed skeleton is itself
+    an SPD system on an ancestor-closed, still-postordered subset), so the
+    structure scales to arbitrary n."""
     from ..ops.plan import col_ids
     from .chol_device import build_chol_plan
 
@@ -273,7 +280,11 @@ def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT) -> Optional[MFPlan
     scp[1:] = np.cumsum(np.diff(Lp)[skel])
     c_skel = Sprs(s_cnnz, ns, ns, sCp, sCi, np.zeros(s_cnnz))
     s_sub = Symb(parent=sparent, cp=scp)
-    skel_plan = build_chol_plan(c_skel, s_sub)
+    skel_plan = None
+    if ns > RECURSE_MIN and depth < MAX_DEPTH:
+        skel_plan = build_mf_plan(c_skel, s_sub, smax, depth + 1)
+    if skel_plan is None:
+        skel_plan = build_chol_plan(c_skel, s_sub)
     # map skeleton L positions -> global L positions (both diag-first asc)
     sLp, sLi = skel_plan.Lp, skel_plan.Li
     skel_l_src = []
@@ -331,12 +342,12 @@ def _skel_assemble(Csx, Cx, a_src, a_dst):
     return Csx.at[a_dst].add(Cx[a_src], mode="drop")
 
 
-def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
-    """Run the multifrontal factorization; returns (Lp, Li, Lx_host)."""
+def _chol_mf_values(Cx, plan: MFPlan):
+    """Recursive core: factor given device values Cx of the plan's system.
+    Returns (Lx_dev, dmins list); caches dense factors for solves."""
     from ._scan import run_grouped
-    from .chol_device import _chol_step, _chol_tail_run
+    from .chol_device import CholPlan, _chol_step, _chol_tail_run
 
-    Cx = jnp.asarray(c.x[: c.nnz()])
     Lx = jnp.zeros(plan.lnz + 1, dtype=Cx.dtype)
     Csx = jnp.zeros(plan.skel_cnnz + 1, dtype=Cx.dtype)
     Csx = _skel_assemble(Csx, Cx, jnp.asarray(plan.skel_a_src),
@@ -357,20 +368,33 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
 
     # skeleton factorization on the assembled values
     sp = plan.skel_plan
-    Lxs = jnp.zeros(sp.lnz + 1, dtype=Cx.dtype)
-    cache = sp.__dict__.setdefault("_dev_groups", [])
-    Lxs, dgroups = run_grouped(sp.levels, _chol_step, Lxs, (Csx[:plan.skel_cnnz],), cache)
-    if sp.tail is not None:
-        Lxs, dt = _chol_tail_run(Lxs, Csx[:plan.skel_cnnz], sp.tail)
-        dgroups = list(dgroups) + [dt]
-    dmins += [jnp.min(jnp.atleast_1d(gq)) for gq in dgroups]
+    if isinstance(sp, MFPlan):  # recursive multifrontal layer
+        Lxs, dsub = _chol_mf_values(Csx[: plan.skel_cnnz], sp)
+        dmins += dsub
+    else:
+        assert isinstance(sp, CholPlan)
+        Lxs = jnp.zeros(sp.lnz + 1, dtype=Cx.dtype)
+        cache = sp.__dict__.setdefault("_dev_groups", [])
+        Lxs, dgroups = run_grouped(sp.levels, _chol_step, Lxs,
+                                   (Csx[: plan.skel_cnnz],), cache)
+        if sp.tail is not None:
+            Lxs, dt = _chol_tail_run(Lxs, Csx[: plan.skel_cnnz], sp.tail)
+            dgroups = list(dgroups) + [dt]
+        dmins += [jnp.min(jnp.atleast_1d(gq)) for gq in dgroups]
     Lx = Lx.at[jnp.asarray(plan.skel_l_dst)].set(
         Lxs[jnp.asarray(plan.skel_l_src)], mode="drop")
+    # cache dense factor values for the multifrontal solves (zero-gather path)
+    plan.__dict__["_solve_cache"] = {"fronts": front_vals, "Lxs": Lxs}
+    return Lx, dmins
+
+
+def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
+    """Run the multifrontal factorization; returns (Lp, Li, Lx_host)."""
+    Cx = jnp.asarray(c.x[: c.nnz()])
+    Lx, dmins = _chol_mf_values(Cx, plan)
     dmin = float(jnp.min(jnp.stack(dmins))) if dmins else 1.0
     if not dmin > 0.0:
         raise NotPositiveDefiniteError()
-    # cache dense factor values for the multifrontal solves (zero-gather path)
-    plan.__dict__["_solve_cache"] = {"fronts": front_vals, "Lxs": Lxs}
     return plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz])
 
 
@@ -438,22 +462,26 @@ def _skel_tri_plans(plan: MFPlan):
 def solve_mf(plan: MFPlan, X: np.ndarray) -> np.ndarray:
     """X := L'^{-1} L^{-1} X for the factor cached by the last chol_mf call.
 
-    X is [n, B] (batched RHS). All bulk work is dense batched front ops; the
-    only sweeps run on the compacted skeleton (10-20% of the system).
-    """
-    from ..solve import _plan_dev, _tri_sweep_multi
-
+    X is [n, B] (batched RHS). All bulk work is dense batched front ops;
+    sweeps touch only the innermost skeleton's L_NN block."""
     sc = plan.__dict__.get("_solve_cache")
     if sc is None:
         raise RuntimeError("solve_mf requires a preceding chol_mf on this plan")
+    Xd = jnp.asarray(X, sc["Lxs"].dtype)
+    return np.asarray(_solve_mf_dev(plan, Xd))
+
+
+def _solve_mf_dev(plan: MFPlan, X):
+    """Recursive device core: X [n, B] -> L'^{-1} L^{-1} X."""
+    from ..solve import _plan_dev, _tri_sweep_multi
+
+    sc = plan.__dict__["_solve_cache"]
     Lxs = sc["Lxs"]
-    p0, p2, cut = _skel_tri_plans(plan)
     ns = len(plan.skel)
     n = plan.n
     B = X.shape[1]
-    Xd = jnp.concatenate([jnp.asarray(X, Lxs.dtype),
-                          jnp.zeros((1, B), Lxs.dtype)])
-    Ds = jnp.zeros((ns + 1, B), Lxs.dtype)
+    Xd = jnp.concatenate([X, jnp.zeros((1, B), X.dtype)])
+    Ds = jnp.zeros((ns + 1, B), X.dtype)
     devs = []
     for b in plan.buckets:
         d = b.__dict__.get("_sdev")
@@ -467,6 +495,14 @@ def solve_mf(plan: MFPlan, X: np.ndarray) -> np.ndarray:
         Xd, Ds = _fwd_front(Xd, Ds, Lss, Lbs, srow, brow, ns=ns)
     skel_idx = jnp.asarray(plan.skel)
     bs = Xd[skel_idx] - Ds[:ns]
+    if isinstance(plan.skel_plan, MFPlan):  # recursive layer
+        ys = _solve_mf_dev(plan.skel_plan, bs)
+        Xd = Xd.at[skel_idx].set(ys)
+        for (Lss, Lbs), (srow, _, browg) in zip(reversed(sc["fronts"]),
+                                                reversed(devs)):
+            Xd = _bwd_front(Xd, Lss, Lbs, srow, browg)
+        return Xd[:n]
+    p0, p2, cut = _skel_tri_plans(plan)
     tail = plan.skel_plan.tail
     tv = tail.__dict__.get("_vals") if tail is not None else None
     if tv is not None:
@@ -494,4 +530,4 @@ def solve_mf(plan: MFPlan, X: np.ndarray) -> np.ndarray:
     for (Lss, Lbs), (srow, _, browg) in zip(reversed(sc["fronts"]),
                                             reversed(devs)):
         Xd = _bwd_front(Xd, Lss, Lbs, srow, browg)
-    return np.asarray(Xd[:n])
+    return Xd[:n]
