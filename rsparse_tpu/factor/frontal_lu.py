@@ -132,10 +132,16 @@ def _sym_pattern_etree(a: Sprs, q: Optional[np.ndarray]):
     return parent, post
 
 
-def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional["LUMFPlan"]:
+RECURSE_MIN = 3000
+MAX_DEPTH = 4
+
+
+def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
+                     depth: int = 0) -> Optional["LUMFPlan"]:
     """Build the multifrontal LU plan. May COMPOSE s.q with the symmetrized
     etree postorder (admissible — lusol applies s.q consistently afterward).
-    Returns None when not applicable."""
+    Large skeletons recurse into another front layer. Returns None when not
+    applicable."""
     from ..errors import NoPivotError
     from ..ops.plan import col_ids
     from .lu_device import build_lu_plan, LUPlan
@@ -362,8 +368,15 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional["LUMFPlan"]:
     c_skel = Sprs(s_cnnz, ns, ns, sCp, srows, np.zeros(s_cnnz))
     s_sub = Symb()
     s_sub.q = None
-    skel_plan = build_lu_plan(c_skel, s_sub)
-    if skel_plan is None or not isinstance(skel_plan, LUPlan):
+    skel_plan = None
+    if ns > RECURSE_MIN and depth < MAX_DEPTH:
+        try:
+            skel_plan = build_lu_mf_plan(c_skel, s_sub, smax, depth + 1)
+        except Exception:
+            skel_plan = None
+    if skel_plan is None:
+        skel_plan = build_lu_plan(c_skel, s_sub)
+    if skel_plan is None or not isinstance(skel_plan, (LUPlan, LUMFPlan)):
         return None
     # position maps skeleton L/U -> global (column-by-column; both conventions
     # are diag-first (L) / diag-last (U) with ascending rows)
@@ -505,20 +518,25 @@ def solve_lu_mf(plan: LUMFPlan, X: np.ndarray) -> np.ndarray:
     """X := U^{-1} L^{-1} X using the factors cached by the last lu_mf call.
 
     X is [n, B]. Front work is dense batched triangular solves; only the
-    compact skeleton runs level sweeps."""
-    from ..solve import _plan_dev, _tri_sweep_multi
-
+    innermost skeleton runs level sweeps."""
     sc = plan.__dict__.get("_solve_cache")
     if sc is None:
         raise RuntimeError("solve_lu_mf requires a preceding lu_mf")
+    Xd = jnp.asarray(X, sc["Lxs"].dtype)
+    return np.asarray(_solve_lu_mf_dev(plan, Xd))
+
+
+def _solve_lu_mf_dev(plan: LUMFPlan, X):
+    """Recursive device core: X [n, B] -> U^{-1} L^{-1} X."""
+    from ..solve import _plan_dev, _tri_sweep_multi
+
+    sc = plan.__dict__["_solve_cache"]
     Lxs, Uxs = sc["Lxs"], sc["Uxs"]
-    p0, p1 = _lu_skel_tri_plans(plan)
     ns = len(plan.skel)
     n = plan.n
     B = X.shape[1]
-    Xd = jnp.concatenate([jnp.asarray(X, Lxs.dtype),
-                          jnp.zeros((1, B), Lxs.dtype)])
-    Ds = jnp.zeros((ns + 1, B), Lxs.dtype)
+    Xd = jnp.concatenate([X, jnp.zeros((1, B), X.dtype)])
+    Ds = jnp.zeros((ns + 1, B), X.dtype)
     devs = []
     for b in plan.buckets:
         d = b.__dict__.get("_sdev")
@@ -533,33 +551,32 @@ def solve_lu_mf(plan: LUMFPlan, X: np.ndarray) -> np.ndarray:
         Xd, Ds = _lu_fwd_front(Xd, Ds, Lss, LB, srow, br_skel)
     skel_idx = jnp.asarray(plan.skel)
     bs = Xd[skel_idx] - Ds[:ns]
-    ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], bs, *_plan_dev(p0),
-                          p0.nlev, p0.emax, p0.wmax, ns, True)
-    ys = _tri_sweep_multi(Uxs[: plan.skel_plan.unz], ys, *_plan_dev(p1),
-                          p1.nlev, p1.emax, p1.wmax, ns, True)
+    if isinstance(plan.skel_plan, LUMFPlan):  # recursive layer
+        ys = _solve_lu_mf_dev(plan.skel_plan, bs)
+    else:
+        p0, p1 = _lu_skel_tri_plans(plan)
+        ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], bs, *_plan_dev(p0),
+                              p0.nlev, p0.emax, p0.wmax, ns, True)
+        ys = _tri_sweep_multi(Uxs[: plan.skel_plan.unz], ys, *_plan_dev(p1),
+                              p1.nlev, p1.emax, p1.wmax, ns, True)
     Xd = Xd.at[skel_idx].set(ys)
     for (Lss, Uss, LB, UB), (srow, _, bc_glob) in zip(reversed(sc["fronts"]),
                                                       reversed(devs)):
         Xd = _lu_bwd_front(Xd, Uss, UB, srow, bc_glob)
-    return np.asarray(Xd[:n])
+    return Xd[:n]
 
 
-def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
-    """Run the multifrontal LU; returns lu_device-style tuple or None when
-    the stability margin rejects static pivoting (caller falls back)."""
+def _lu_mf_values(Ax, plan: LUMFPlan, tolv):
+    """Recursive core: factor device values Ax of the plan's (permuted)
+    system. Returns (Lx, Ux, margins, bads); caches solve factors."""
     from ._scan import run_grouped
-    from .lu_device import _lu_step
+    from .lu_device import LUPlan, _lu_step
 
-    ax_host = a.x[: a.nnz()]
-    if plan.vperm is not None:  # factorization runs on A(P, P)
-        ax_host = ax_host[plan.vperm]
-    Ax = jnp.asarray(ax_host)
     Lx = jnp.zeros(plan.lnz + 1, dtype=Ax.dtype)
     Ux = jnp.zeros(plan.unz + 1, dtype=Ax.dtype)
     Csx = jnp.zeros(plan.skel_cnnz + 1, dtype=Ax.dtype)
     Csx = Csx.at[jnp.asarray(plan.skel_a_dst)].add(
         Ax[jnp.asarray(plan.skel_a_src)], mode="drop")
-    tolv = jnp.asarray(float(tol), Ax.dtype)
     margins, bads = [], []
     front_vals = []
     for b in plan.buckets:
@@ -581,35 +598,58 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
         front_vals.append((Lss, Uss, LB, UB))
 
     sp = plan.skel_plan
-    Lxs = jnp.zeros(sp.lnz + 1, dtype=Ax.dtype)
-    Uxs = jnp.zeros(sp.unz + 1, dtype=Ax.dtype)
-    cache = sp.__dict__.setdefault("_dev_groups", [])
-    (Lxs, Uxs), aux = run_grouped(
-        sp.levels, _lu_step, (Lxs, Uxs),
-        (Csx[: plan.skel_cnnz], tolv), cache)
-    for gq in aux:
-        margins.append(jnp.min(jnp.atleast_1d(gq[0])))
-        bads.append(jnp.any(jnp.atleast_1d(gq[1])))
-    if sp.tail is not None:
-        from .lu_device import _lu_tail_run
+    if isinstance(sp, LUMFPlan):  # recursive layer (skeleton is unpermuted)
+        Lxs, Uxs, m2, b2 = _lu_mf_values(Csx[: plan.skel_cnnz], sp, tolv)
+        margins += m2
+        bads += b2
+    else:
+        assert isinstance(sp, LUPlan)
+        Lxs = jnp.zeros(sp.lnz + 1, dtype=Ax.dtype)
+        Uxs = jnp.zeros(sp.unz + 1, dtype=Ax.dtype)
+        cache = sp.__dict__.setdefault("_dev_groups", [])
+        (Lxs, Uxs), aux = run_grouped(
+            sp.levels, _lu_step, (Lxs, Uxs),
+            (Csx[: plan.skel_cnnz], tolv), cache)
+        for gq in aux:
+            margins.append(jnp.min(jnp.atleast_1d(gq[0])))
+            bads.append(jnp.any(jnp.atleast_1d(gq[1])))
+        if sp.tail is not None:
+            from .lu_device import _lu_tail_run
 
-        Lxs, Uxs, mgt, bdt = _lu_tail_run(
-            Lxs, Uxs, Csx[: plan.skel_cnnz], tolv, sp.tail)
-        margins.append(mgt)
-        bads.append(bdt)
-    mg = float(jnp.min(jnp.stack(margins))) if margins else 0.0
-    bad = bool(jnp.any(jnp.stack(bads))) if bads else False
-    if bad or not (mg >= 0.0):
-        # host fallback will produce different (pivoted) factors — a stale
-        # front cache must not serve solves for them
-        plan.__dict__.pop("_solve_cache", None)
-        return None
+            Lxs, Uxs, mgt, bdt = _lu_tail_run(
+                Lxs, Uxs, Csx[: plan.skel_cnnz], tolv, sp.tail)
+            margins.append(mgt)
+            bads.append(bdt)
     Lx = Lx.at[jnp.asarray(plan.skel_l_dst)].set(
         Lxs[jnp.asarray(plan.skel_l_src)], mode="drop")
     Ux = Ux.at[jnp.asarray(plan.skel_u_dst)].set(
         Uxs[jnp.asarray(plan.skel_u_src)], mode="drop")
     plan.__dict__["_solve_cache"] = {"fronts": front_vals,
                                      "Lxs": Lxs, "Uxs": Uxs}
+    return Lx, Ux, margins, bads
+
+
+def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
+    """Run the multifrontal LU; returns lu_device-style tuple or None when
+    the stability margin rejects static pivoting (caller falls back)."""
+    ax_host = a.x[: a.nnz()]
+    if plan.vperm is not None:  # factorization runs on A(P, P)
+        ax_host = ax_host[plan.vperm]
+    Ax = jnp.asarray(ax_host)
+    tolv = jnp.asarray(float(tol), Ax.dtype)
+    Lx, Ux, margins, bads = _lu_mf_values(Ax, plan, tolv)
+    mg = float(jnp.min(jnp.stack(margins))) if margins else 0.0
+    bad = bool(jnp.any(jnp.stack(bads))) if bads else False
+    if bad or not (mg >= 0.0):
+        # host fallback will produce different (pivoted) factors — a stale
+        # front cache must not serve solves for them
+        def _clear(p):
+            p.__dict__.pop("_solve_cache", None)
+            if isinstance(p.skel_plan, LUMFPlan):
+                _clear(p.skel_plan)
+
+        _clear(plan)
+        return None
     pinv = (plan.row_pinv if plan.row_pinv is not None
             else np.arange(plan.n, dtype=np.int64))
     return (plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz]),
