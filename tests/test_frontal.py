@@ -66,3 +66,19 @@ def test_mf_spd_failure():
     s = rs.schol(a, 0)
     with pytest.raises(rs.NotPositiveDefiniteError):
         rs.chol(a, s)
+
+
+def test_mf_recursion_correct(monkeypatch):
+    import rsparse_tpu.factor.frontal as fr
+
+    monkeypatch.setattr(fr, "RECURSE_MIN", 300)
+    a = _laplacian(64)  # n=4096 -> nested plans
+    s = rs.schol(a, 0)
+    nm = rs.chol(a, s)
+    plan = s._mf_plan
+    assert isinstance(plan.skel_plan, fr.MFPlan), "recursion must engage"
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((a.n, 3))
+    X = rs.cholsol_multi(a, B, 0, sym=s)
+    R = np.abs(a.to_dense_np() @ X - B).max()
+    assert R < 1e-9

@@ -60,3 +60,17 @@ def test_mf_lu_margin_fallback():
     want = np.linalg.solve(d2, b)
     resid = np.abs(d2 @ x - b).max()
     assert resid < 1e-6, resid
+
+
+def test_mf_lu_recursion_correct(monkeypatch):
+    import rsparse_tpu.factor.frontal_lu as flu
+
+    monkeypatch.setattr(flu, "RECURSE_MIN", 200)
+    a, d = _dd_banded(seed=5)
+    rng = np.random.default_rng(8)
+    b = rng.standard_normal(a.n)
+    s = rs.sqr(a, 1, False)
+    x = np.asarray(rs.lusol(a, list(b), 1, 1e-6, sym=s))
+    assert isinstance(s._mf_lu_plan.skel_plan, flu.LUMFPlan), "recursion must engage"
+    resid = np.abs(d @ x - b).max()
+    assert resid < 1e-8
