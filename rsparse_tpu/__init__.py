@@ -85,6 +85,7 @@ from .solve import (  # noqa: E402
     cholsol,
     lusol,
     qrsol,
+    qrsol_ls,
     cholsol_multi,
     lusol_multi,
     cholsol_ir,
@@ -105,6 +106,7 @@ __all__ += [
     "cholsol",
     "lusol",
     "qrsol",
+    "qrsol_ls",
     "cholsol_multi",
     "lusol_multi",
     "cholsol_ir",

@@ -32,7 +32,7 @@ from .symbolic import native
 __all__ = [
     "lsolve", "ltsolve", "usolve", "utsolve",
     "lsolve_multi", "ltsolve_multi", "usolve_multi", "utsolve_multi",
-    "cholsol", "lusol", "qrsol", "cholsol_multi", "lusol_multi", "cholsol_ir", "happly_dense",
+    "cholsol", "lusol", "qrsol", "qrsol_ls", "cholsol_multi", "lusol_multi", "cholsol_ir", "happly_dense",
 ]
 
 
@@ -387,6 +387,71 @@ def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
     else:
         out[:] = X
     return out
+
+
+def qrsol_ls(a: Sprs, b, order: int = 0, refine: int = 2,
+             *, sym: Optional[Symb] = None):
+    """Least-squares / minimum-norm solve via corrected seminormal equations
+    (CSNE, Björck): R from the multifrontal Cholesky of A'A (R'R = A'A),
+    then x = R^{-1} R^{-T} A'b with `refine` f64 refinement steps
+    x += (A'A)^{-1} A'(b - Ax).
+
+    TPU fast path — same solutions as `qrsol` (which keeps the reference's
+    exact Householder semantics) at multifrontal speed; CSNE squares the
+    condition number, which the refinement recovers for all but severely
+    ill-conditioned systems. Handles m >= n (least squares) and m < n
+    (minimum norm via AA'). `sym` reuses the A'A / AA' analysis.
+    """
+    from .factor import chol as _chol
+    from .symbolic import schol as _schol
+
+    m, n = a.m, a.n
+    bb = np.asarray(b, dtype=np.float64)
+    at = ops.transpose(a)
+    g = ops.multiply(at, a) if m >= n else ops.multiply(a, at)
+    k = g.n
+    s = sym if sym is not None else _schol(g, order)
+    nm = _chol(g, s)  # factor ONCE; solves below reuse the cached factors
+    mfp = getattr(s, "_mf_plan", None)
+    use_mf = mfp is not None and "_solve_cache" in mfp.__dict__
+    pinv = np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None else None
+    tp0 = tri_plan(nm.l, 0) if not use_mf else None
+    tp2 = tri_plan(nm.l, 2) if not use_mf else None
+
+    def spd_solve(r):
+        z = np.zeros(k)
+        if pinv is not None:
+            z[pinv] = r
+        else:
+            z[:] = r
+        if use_mf:
+            from .factor.frontal import solve_mf
+
+            z = solve_mf(mfp, z[:, None])[:, 0]
+        else:
+            z = _tri_solve(nm.l, z, 0, tp0)
+            z = _tri_solve(nm.l, z, 2, tp2)
+        out = np.zeros(k)
+        if pinv is not None:
+            out[:] = np.asarray(z)[pinv]
+        else:
+            out[:] = np.asarray(z)
+        return out
+
+    if m >= n:
+        atb = np.asarray(ops.gaxpy(at, list(bb), [0.0] * n))
+        x = spd_solve(atb)
+        for _ in range(max(0, refine)):
+            r = bb - np.asarray(ops.gaxpy(a, list(x), [0.0] * m))
+            x = x + spd_solve(np.asarray(ops.gaxpy(at, list(r), [0.0] * n)))
+        return x
+    # underdetermined: minimum-norm x = A'(AA')^{-1} b
+    y = spd_solve(bb)
+    x = np.asarray(ops.gaxpy(at, list(y), [0.0] * n))
+    for _ in range(max(0, refine)):
+        r = bb - np.asarray(ops.gaxpy(a, list(x), [0.0] * m))
+        x = x + np.asarray(ops.gaxpy(at, list(spd_solve(r)), [0.0] * n))
+    return x
 
 
 def cholsol_ir(a: Sprs, b, order: int = 0, factor_dtype: str = "float32",

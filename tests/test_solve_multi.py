@@ -89,3 +89,22 @@ def test_lusol_multi_matches_lusol():
     for c in range(3):
         want = rs.lusol(a, list(B[:, c]), 1, 1e-6)
         np.testing.assert_allclose(X[:, c], np.asarray(want), rtol=1e-9, atol=1e-9)
+
+
+def test_qrsol_ls_matches_qrsol_overdetermined():
+    a = rs.Sprs.new_from_file(f"{ASSETS}/qrsol_8.sprs")  # 200x201? -> use transpose
+    at = rs.transpose(a)  # tall 201x200
+    t = at if at.m >= at.n else a
+    rng = np.random.default_rng(9)
+    b = rng.standard_normal(t.m)
+    want = np.asarray(rs.qrsol(t, list(b), 2))[: t.n]
+    got = np.asarray(rs.qrsol_ls(t, b, 0, refine=3))
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
+
+
+def test_qrsol_ls_minimum_norm():
+    a = rs.Sprs.new_from_vec([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    b = [1.0, 2.0]
+    want = np.asarray(rs.qrsol(a, list(b), 2))
+    got = np.asarray(rs.qrsol_ls(a, b, 0, refine=3))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
