@@ -459,24 +459,43 @@ def _skel_tri_plans(plan: MFPlan):
     return tp
 
 
+def _collect_cache(plan: MFPlan):
+    """Flatten the per-plan solve cache (dense factor values) into a pytree
+    argument so the whole recursive solve can live inside ONE jit — the
+    values change every factorization, so they must be traced args, not
+    baked constants."""
+    sc = plan.__dict__["_solve_cache"]
+    sub = (_collect_cache(plan.skel_plan)
+           if isinstance(plan.skel_plan, MFPlan) else None)
+    tail = plan.skel_plan.tail if not isinstance(plan.skel_plan, MFPlan) else None
+    tv = tail.__dict__.get("_vals") if tail is not None else None
+    return (tuple(sc["fronts"]), sc["Lxs"], tv, sub)
+
+
 def solve_mf(plan: MFPlan, X: np.ndarray) -> np.ndarray:
     """X := L'^{-1} L^{-1} X for the factor cached by the last chol_mf call.
 
     X is [n, B] (batched RHS). All bulk work is dense batched front ops;
-    sweeps touch only the innermost skeleton's L_NN block."""
+    sweeps touch only the innermost skeleton's L_NN block. The complete
+    recursive solve compiles into a single launch per (plan, batch-shape)."""
     sc = plan.__dict__.get("_solve_cache")
     if sc is None:
         raise RuntimeError("solve_mf requires a preceding chol_mf on this plan")
+    fn = plan.__dict__.get("_solve_jit")
+    if fn is None:
+        fn = jax.jit(lambda Xd, cache: _solve_mf_dev(plan, Xd, cache))
+        plan.__dict__["_solve_jit"] = fn
     Xd = jnp.asarray(X, sc["Lxs"].dtype)
-    return np.asarray(_solve_mf_dev(plan, Xd))
+    return np.asarray(fn(Xd, _collect_cache(plan)))
 
 
-def _solve_mf_dev(plan: MFPlan, X):
-    """Recursive device core: X [n, B] -> L'^{-1} L^{-1} X."""
+def _solve_mf_dev(plan: MFPlan, X, cache):
+    """Recursive device core: X [n, B] -> L'^{-1} L^{-1} X.
+
+    `cache` = (fronts, Lxs, tail_vals, sub_cache) from _collect_cache."""
     from ..solve import _plan_dev, _tri_sweep_multi
 
-    sc = plan.__dict__["_solve_cache"]
-    Lxs = sc["Lxs"]
+    fronts, Lxs, tail_vals, sub_cache = cache
     ns = len(plan.skel)
     n = plan.n
     B = X.shape[1]
@@ -491,20 +510,19 @@ def _solve_mf_dev(plan: MFPlan, X):
             b.__dict__["_sdev"] = d
         devs.append(d)
     # forward: fronts then skeleton
-    for (Lss, Lbs), (srow, brow, _) in zip(sc["fronts"], devs):
+    for (Lss, Lbs), (srow, brow, _) in zip(fronts, devs):
         Xd, Ds = _fwd_front(Xd, Ds, Lss, Lbs, srow, brow, ns=ns)
     skel_idx = jnp.asarray(plan.skel)
     bs = Xd[skel_idx] - Ds[:ns]
     if isinstance(plan.skel_plan, MFPlan):  # recursive layer
-        ys = _solve_mf_dev(plan.skel_plan, bs)
+        ys = _solve_mf_dev(plan.skel_plan, bs, sub_cache)
         Xd = Xd.at[skel_idx].set(ys)
-        for (Lss, Lbs), (srow, _, browg) in zip(reversed(sc["fronts"]),
+        for (Lss, Lbs), (srow, _, browg) in zip(reversed(fronts),
                                                 reversed(devs)):
             Xd = _bwd_front(Xd, Lss, Lbs, srow, browg)
         return Xd[:n]
     p0, p2, cut = _skel_tri_plans(plan)
-    tail = plan.skel_plan.tail
-    tv = tail.__dict__.get("_vals") if tail is not None else None
+    tv = tail_vals
     if tv is not None:
         # tail-aware split: sweep only L_NN; the dense trailing block solves
         # with the cached (W = L_TN', Ls = L_TT) factors — the deep level
@@ -527,7 +545,7 @@ def _solve_mf_dev(plan: MFPlan, X):
         ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], ys, *_plan_dev(p2),
                               p2.nlev, p2.emax, p2.wmax, p2.n, False)
     Xd = Xd.at[skel_idx].set(ys)
-    for (Lss, Lbs), (srow, _, browg) in zip(reversed(sc["fronts"]),
+    for (Lss, Lbs), (srow, _, browg) in zip(reversed(fronts),
                                             reversed(devs)):
         Xd = _bwd_front(Xd, Lss, Lbs, srow, browg)
     return Xd[:n]

@@ -514,24 +514,37 @@ def _lu_skel_tri_plans(plan: LUMFPlan):
     return tp
 
 
+def _collect_lu_cache(plan: LUMFPlan):
+    """Flatten the per-plan factor values into a pytree arg (see
+    frontal._collect_cache — values must be traced, not baked)."""
+    sc = plan.__dict__["_solve_cache"]
+    sub = (_collect_lu_cache(plan.skel_plan)
+           if isinstance(plan.skel_plan, LUMFPlan) else None)
+    return (tuple(sc["fronts"]), sc["Lxs"], sc["Uxs"], sub)
+
+
 def solve_lu_mf(plan: LUMFPlan, X: np.ndarray) -> np.ndarray:
     """X := U^{-1} L^{-1} X using the factors cached by the last lu_mf call.
 
     X is [n, B]. Front work is dense batched triangular solves; only the
-    innermost skeleton runs level sweeps."""
+    innermost skeleton runs level sweeps. The recursive solve compiles into
+    a single launch per (plan, batch-shape)."""
     sc = plan.__dict__.get("_solve_cache")
     if sc is None:
         raise RuntimeError("solve_lu_mf requires a preceding lu_mf")
+    fn = plan.__dict__.get("_solve_jit")
+    if fn is None:
+        fn = jax.jit(lambda Xd, cache: _solve_lu_mf_dev(plan, Xd, cache))
+        plan.__dict__["_solve_jit"] = fn
     Xd = jnp.asarray(X, sc["Lxs"].dtype)
-    return np.asarray(_solve_lu_mf_dev(plan, Xd))
+    return np.asarray(fn(Xd, _collect_lu_cache(plan)))
 
 
-def _solve_lu_mf_dev(plan: LUMFPlan, X):
+def _solve_lu_mf_dev(plan: LUMFPlan, X, cache):
     """Recursive device core: X [n, B] -> U^{-1} L^{-1} X."""
     from ..solve import _plan_dev, _tri_sweep_multi
 
-    sc = plan.__dict__["_solve_cache"]
-    Lxs, Uxs = sc["Lxs"], sc["Uxs"]
+    fronts, Lxs, Uxs, sub_cache = cache
     ns = len(plan.skel)
     n = plan.n
     B = X.shape[1]
@@ -547,12 +560,12 @@ def _solve_lu_mf_dev(plan: LUMFPlan, X):
                  jnp.asarray(bc_glob))
             b.__dict__["_sdev"] = d
         devs.append(d)
-    for (Lss, Uss, LB, UB), (srow, br_skel, _) in zip(sc["fronts"], devs):
+    for (Lss, Uss, LB, UB), (srow, br_skel, _) in zip(fronts, devs):
         Xd, Ds = _lu_fwd_front(Xd, Ds, Lss, LB, srow, br_skel)
     skel_idx = jnp.asarray(plan.skel)
     bs = Xd[skel_idx] - Ds[:ns]
     if isinstance(plan.skel_plan, LUMFPlan):  # recursive layer
-        ys = _solve_lu_mf_dev(plan.skel_plan, bs)
+        ys = _solve_lu_mf_dev(plan.skel_plan, bs, sub_cache)
     else:
         p0, p1 = _lu_skel_tri_plans(plan)
         ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], bs, *_plan_dev(p0),
@@ -560,7 +573,7 @@ def _solve_lu_mf_dev(plan: LUMFPlan, X):
         ys = _tri_sweep_multi(Uxs[: plan.skel_plan.unz], ys, *_plan_dev(p1),
                               p1.nlev, p1.emax, p1.wmax, ns, True)
     Xd = Xd.at[skel_idx].set(ys)
-    for (Lss, Uss, LB, UB), (srow, _, bc_glob) in zip(reversed(sc["fronts"]),
+    for (Lss, Uss, LB, UB), (srow, _, bc_glob) in zip(reversed(fronts),
                                                       reversed(devs)):
         Xd = _lu_bwd_front(Xd, Uss, UB, srow, bc_glob)
     return Xd[:n]
