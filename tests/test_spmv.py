@@ -69,3 +69,14 @@ def test_spgemm_dia_dimension_check():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         spmv_mod.spgemm_dia(rs.Sprs.eye(3), rs.Sprs.eye(4))
+
+
+def test_spgemm_dia_fallback_dense_pattern():
+    """Operands with too many distinct diagonals route to Gustavson."""
+    rng = np.random.default_rng(3)
+    d = (rng.random((60, 60)) < 0.5) * rng.standard_normal((60, 60))
+    a = rs.Sprs.new_from_vec(d.tolist())
+    got = spmv_mod.spgemm_dia(a, a, trim=False)
+    want = rs.multiply(a, a)
+    np.testing.assert_allclose(got.to_dense_np(), want.to_dense_np(),
+                               rtol=1e-12, atol=1e-12)

@@ -56,3 +56,23 @@ def test_symbolic_checkpoint_roundtrip(tmp_path):
     rs.pvec(a.n, s2.pinv, x, out)
     resid = np.asarray(rs.gaxpy(a, list(out), [0.0] * a.n)) - b
     assert np.abs(resid).max() < 1e-9
+
+
+def test_symbolic_checkpoint_then_mf_factor():
+    """A Symb restored from disk must drive the multifrontal device factor
+    (plans rebuild lazily)."""
+    from bench import laplacian_5pt
+    from rsparse_tpu.data import Sprs
+
+    n, p, i, x = laplacian_5pt(44)  # n=1936 >= mf_min_n
+    a = Sprs(len(x), n, n, p, i, x)
+    s = rs.schol(a, 0)
+    path = "/tmp/symb_mf_test.npz"
+    save_symbolic(s, path)
+    s2 = load_symbolic(path)
+    b = np.linspace(0.5, 1.5, n)
+    x1 = np.asarray(rs.cholsol(a, list(b), 0, sym=s2))
+    assert getattr(s2, "_mf_plan", None) is not None
+    r = np.abs(np.asarray(rs.gaxpy(a, list(x1), [0.0] * n)) - b).max()
+    assert r < 1e-9
+    os.remove(path)
