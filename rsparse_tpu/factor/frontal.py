@@ -472,6 +472,27 @@ def _collect_cache(plan: MFPlan):
     return (tuple(sc["fronts"]), sc["Lxs"], tv, sub)
 
 
+def _prep_solve_indices(plan: MFPlan):
+    """Eagerly build all device-resident index caches used by the solve —
+    they must NOT be created inside the jit trace (tracer leak)."""
+    from ..solve import _plan_dev
+
+    ns = len(plan.skel)
+    n = plan.n
+    for b in plan.buckets:
+        if b.__dict__.get("_sdev") is None:
+            b.__dict__["_sdev"] = (
+                jnp.asarray(b.srow), jnp.asarray(b.brow),
+                jnp.asarray(np.where(b.brow < ns,
+                                     plan.skel[np.clip(b.brow, 0, ns - 1)], n)))
+    if isinstance(plan.skel_plan, MFPlan):
+        _prep_solve_indices(plan.skel_plan)
+    else:
+        p0, p2, _ = _skel_tri_plans(plan)
+        _plan_dev(p0)
+        _plan_dev(p2)
+
+
 def solve_mf(plan: MFPlan, X: np.ndarray) -> np.ndarray:
     """X := L'^{-1} L^{-1} X for the factor cached by the last chol_mf call.
 
@@ -481,6 +502,7 @@ def solve_mf(plan: MFPlan, X: np.ndarray) -> np.ndarray:
     sc = plan.__dict__.get("_solve_cache")
     if sc is None:
         raise RuntimeError("solve_mf requires a preceding chol_mf on this plan")
+    _prep_solve_indices(plan)
     fn = plan.__dict__.get("_solve_jit")
     if fn is None:
         fn = jax.jit(lambda Xd, cache: _solve_mf_dev(plan, Xd, cache))

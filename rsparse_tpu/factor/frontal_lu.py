@@ -523,6 +523,28 @@ def _collect_lu_cache(plan: LUMFPlan):
     return (tuple(sc["fronts"]), sc["Lxs"], sc["Uxs"], sub)
 
 
+def _prep_lu_solve_indices(plan: LUMFPlan):
+    """Eagerly build device-resident index caches (must not be created
+    inside the jit trace — tracer leak)."""
+    from ..solve import _plan_dev
+
+    ns = len(plan.skel)
+    n = plan.n
+    for b in plan.buckets:
+        if b.__dict__.get("_sdev") is None:
+            bc_glob = np.where(b.bc_skel < ns,
+                               plan.skel[np.clip(b.bc_skel, 0, ns - 1)], n)
+            b.__dict__["_sdev"] = (jnp.asarray(b.srow),
+                                   jnp.asarray(b.br_skel),
+                                   jnp.asarray(bc_glob))
+    if isinstance(plan.skel_plan, LUMFPlan):
+        _prep_lu_solve_indices(plan.skel_plan)
+    else:
+        p0, p1 = _lu_skel_tri_plans(plan)
+        _plan_dev(p0)
+        _plan_dev(p1)
+
+
 def solve_lu_mf(plan: LUMFPlan, X: np.ndarray) -> np.ndarray:
     """X := U^{-1} L^{-1} X using the factors cached by the last lu_mf call.
 
@@ -532,6 +554,7 @@ def solve_lu_mf(plan: LUMFPlan, X: np.ndarray) -> np.ndarray:
     sc = plan.__dict__.get("_solve_cache")
     if sc is None:
         raise RuntimeError("solve_lu_mf requires a preceding lu_mf")
+    _prep_lu_solve_indices(plan)
     fn = plan.__dict__.get("_solve_jit")
     if fn is None:
         fn = jax.jit(lambda Xd, cache: _solve_lu_mf_dev(plan, Xd, cache))
