@@ -58,7 +58,7 @@ def lu(a: Sprs, s: Symb, tol: float) -> Nmrc:
     if config.backend == "host":
         mfp = getattr(s, "_mf_lu_plan", None)
         if mfp is not None:  # host factors invalidate the device front cache
-            mfp.__dict__.pop("_solve_cache", None)
+            mfp.__dict__.pop("_cache_tree", None)
         Lp, Li, Lx, Up, Ui, Ux, pinv = native.lu_numeric(
             n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol, s.lnz, s.unz
         )

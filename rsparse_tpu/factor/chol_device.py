@@ -291,19 +291,30 @@ def _chol_tail_kernel(Lx, Cx, rhs_pos, att_pos, l21_pos, l21_j, l21_t,
     return Lx, dmin, W, Ls
 
 
-def _chol_tail_run(Lx, Cx, tail: DenseTail):
-    """Single-launch dense trailing-supernode factorization. Also caches the
-    dense factors (W = L_TNᵀ, Ls = L_TT) on the tail for tail-aware solves."""
+def _prep_tail_dev(tail: DenseTail):
+    """Eagerly build the tail's device index tensors (never inside a trace)."""
     (ent_pos, ent_row, ent_col, ent_slot, ent_off,
      col_id, col_diag, col_off, nlev, emax, wmax) = tail.tri
     dev = tail.__dict__.get("_dev")
-    if dev is None:  # device-resident tensors cached across factor calls
+    if dev is None:
         j = jnp.asarray
         dev = (j(tail.rhs_pos), j(tail.att_pos), j(tail.l21_pos),
                j(tail.l21_j), j(tail.l21_t), j(tail.ltt_pos), j(tail.ltt_r),
                j(tail.ltt_c), j(ent_pos), j(ent_row), j(ent_col),
                j(ent_slot), j(ent_off), j(col_id), j(col_diag), j(col_off))
         tail.__dict__["_dev"] = dev
+    return dev
+
+
+def _chol_tail_run(Lx, Cx, tail: DenseTail):
+    """Single-launch dense trailing-supernode factorization. Also caches the
+    dense factors (W = L_TNᵀ, Ls = L_TT) on the tail for tail-aware solves.
+
+    NOTE: the `_vals` side-cache is only valid when called EAGERLY (the
+    level-path chol_device); the multifrontal path threads (W, Ls) through
+    the jit boundary instead (frontal._chol_mf_values)."""
+    (*_, nlev, emax, wmax) = tail.tri
+    dev = _prep_tail_dev(tail)
     Lx, dmin, W, Ls = _chol_tail_kernel(
         Lx, Cx, *dev, nlev=nlev, emax=emax, wmax=wmax, cut=tail.cut)
     tail.__dict__["_vals"] = (W, Ls)

@@ -342,58 +342,95 @@ def _skel_assemble(Csx, Cx, a_src, a_dst):
     return Csx.at[a_dst].add(Cx[a_src], mode="drop")
 
 
+def _prep_factor_indices(plan: MFPlan):
+    """Eagerly build every device-resident index tensor the factorization
+    reads, so the whole recursive factor can run inside ONE jit without
+    creating (and leaking) tracers into plan caches."""
+    from ._scan import stack_groups
+    from .chol_device import CholPlan, _prep_tail_dev
+
+    j = jnp.asarray
+    for b in plan.buckets:
+        if b.__dict__.get("_dev") is None:
+            b.__dict__["_dev"] = tuple(j(t) for t in (
+                b.ass_pos, b.abs_pos, b.lss_pos, b.lss_r, b.lss_c, b.lss_f,
+                b.lbs_pos, b.lbs_r, b.lbs_c, b.lbs_f, b.schur_src, b.schur_dst))
+    if plan.__dict__.get("_asm_dev") is None:
+        plan.__dict__["_asm_dev"] = (j(plan.skel_a_src), j(plan.skel_a_dst))
+        plan.__dict__["_map_dev"] = (j(plan.skel_l_src), j(plan.skel_l_dst))
+    sp = plan.skel_plan
+    if isinstance(sp, MFPlan):
+        _prep_factor_indices(sp)
+    else:
+        assert isinstance(sp, CholPlan)
+        cache = sp.__dict__.setdefault("_dev_groups", [])
+        if not cache:
+            cache.extend(stack_groups(sp.levels))
+        if sp.tail is not None:
+            _prep_tail_dev(sp.tail)
+
+
 def _chol_mf_values(Cx, plan: MFPlan):
     """Recursive core: factor given device values Cx of the plan's system.
-    Returns (Lx_dev, dmins list); caches dense factors for solves."""
+    Returns (Lx_dev, dmins list, cache tree) — the cache tree carries the
+    dense factors through the jit boundary for the zero-gather solves.
+    Requires _prep_factor_indices(plan) to have run (eagerly)."""
     from ._scan import run_grouped
-    from .chol_device import CholPlan, _chol_step, _chol_tail_run
+    from .chol_device import CholPlan, _chol_step, _chol_tail_kernel
 
     Lx = jnp.zeros(plan.lnz + 1, dtype=Cx.dtype)
     Csx = jnp.zeros(plan.skel_cnnz + 1, dtype=Cx.dtype)
-    Csx = _skel_assemble(Csx, Cx, jnp.asarray(plan.skel_a_src),
-                         jnp.asarray(plan.skel_a_dst))
+    a_src, a_dst = plan.__dict__["_asm_dev"]
+    Csx = _skel_assemble(Csx, Cx, a_src, a_dst)
     dmins = []
     front_vals = []
     for b in plan.buckets:
-        dev = b.__dict__.get("_dev")
-        if dev is None:
-            j = jnp.asarray
-            dev = tuple(j(t) for t in (
-                b.ass_pos, b.abs_pos, b.lss_pos, b.lss_r, b.lss_c, b.lss_f,
-                b.lbs_pos, b.lbs_r, b.lbs_c, b.lbs_f, b.schur_src, b.schur_dst))
-            b.__dict__["_dev"] = dev
-        Lx, Csx, dmin, Lss, Lbs = _front_kernel(Lx, Csx, Cx, *dev)
+        Lx, Csx, dmin, Lss, Lbs = _front_kernel(Lx, Csx, Cx, *b.__dict__["_dev"])
         dmins.append(dmin)
         front_vals.append((Lss, Lbs))
 
     # skeleton factorization on the assembled values
     sp = plan.skel_plan
+    tail_vals = None
     if isinstance(sp, MFPlan):  # recursive multifrontal layer
-        Lxs, dsub = _chol_mf_values(Csx[: plan.skel_cnnz], sp)
+        Lxs, dsub, sub_cache = _chol_mf_values(Csx[: plan.skel_cnnz], sp)
         dmins += dsub
     else:
         assert isinstance(sp, CholPlan)
+        sub_cache = None
         Lxs = jnp.zeros(sp.lnz + 1, dtype=Cx.dtype)
-        cache = sp.__dict__.setdefault("_dev_groups", [])
         Lxs, dgroups = run_grouped(sp.levels, _chol_step, Lxs,
-                                   (Csx[: plan.skel_cnnz],), cache)
+                                   (Csx[: plan.skel_cnnz],),
+                                   sp.__dict__["_dev_groups"])
         if sp.tail is not None:
-            Lxs, dt = _chol_tail_run(Lxs, Csx[: plan.skel_cnnz], sp.tail)
+            (*_, nlev, emax, wmax) = sp.tail.tri
+            Lxs, dt, W, Ls = _chol_tail_kernel(
+                Lxs, Csx[: plan.skel_cnnz], *sp.tail.__dict__["_dev"],
+                nlev=nlev, emax=emax, wmax=wmax, cut=sp.tail.cut)
+            tail_vals = (W, Ls)
             dgroups = list(dgroups) + [dt]
         dmins += [jnp.min(jnp.atleast_1d(gq)) for gq in dgroups]
-    Lx = Lx.at[jnp.asarray(plan.skel_l_dst)].set(
-        Lxs[jnp.asarray(plan.skel_l_src)], mode="drop")
-    # cache dense factor values for the multifrontal solves (zero-gather path)
-    plan.__dict__["_solve_cache"] = {"fronts": front_vals, "Lxs": Lxs}
-    return Lx, dmins
+    l_src, l_dst = plan.__dict__["_map_dev"]
+    Lx = Lx.at[l_dst].set(Lxs[l_src], mode="drop")
+    cache = (tuple(front_vals), Lxs, tail_vals, sub_cache)
+    return Lx, dmins, cache
 
 
 def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
-    """Run the multifrontal factorization; returns (Lp, Li, Lx_host)."""
-    Cx = jnp.asarray(c.x[: c.nnz()])
-    Lx, dmins = _chol_mf_values(Cx, plan)
-    dmin = float(jnp.min(jnp.stack(dmins))) if dmins else 1.0
-    if not dmin > 0.0:
+    """Run the multifrontal factorization as ONE fused launch; returns
+    (Lp, Li, Lx_host) and caches the solve tree on the plan."""
+    _prep_factor_indices(plan)
+    fn = plan.__dict__.get("_factor_jit")
+    if fn is None:
+        def run(Cx):
+            Lx, dmins, cache = _chol_mf_values(Cx, plan)
+            return Lx, jnp.min(jnp.stack(dmins)) if dmins else jnp.asarray(1.0, Cx.dtype), cache
+
+        fn = jax.jit(run)
+        plan.__dict__["_factor_jit"] = fn
+    Lx, dmin, cache = fn(jnp.asarray(c.x[: c.nnz()]))
+    plan.__dict__["_cache_tree"] = cache
+    if not float(dmin) > 0.0:
         raise NotPositiveDefiniteError()
     return plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz])
 
@@ -459,19 +496,6 @@ def _skel_tri_plans(plan: MFPlan):
     return tp
 
 
-def _collect_cache(plan: MFPlan):
-    """Flatten the per-plan solve cache (dense factor values) into a pytree
-    argument so the whole recursive solve can live inside ONE jit — the
-    values change every factorization, so they must be traced args, not
-    baked constants."""
-    sc = plan.__dict__["_solve_cache"]
-    sub = (_collect_cache(plan.skel_plan)
-           if isinstance(plan.skel_plan, MFPlan) else None)
-    tail = plan.skel_plan.tail if not isinstance(plan.skel_plan, MFPlan) else None
-    tv = tail.__dict__.get("_vals") if tail is not None else None
-    return (tuple(sc["fronts"]), sc["Lxs"], tv, sub)
-
-
 def _prep_solve_indices(plan: MFPlan):
     """Eagerly build all device-resident index caches used by the solve —
     they must NOT be created inside the jit trace (tracer leak)."""
@@ -499,16 +523,16 @@ def solve_mf(plan: MFPlan, X: np.ndarray) -> np.ndarray:
     X is [n, B] (batched RHS). All bulk work is dense batched front ops;
     sweeps touch only the innermost skeleton's L_NN block. The complete
     recursive solve compiles into a single launch per (plan, batch-shape)."""
-    sc = plan.__dict__.get("_solve_cache")
-    if sc is None:
+    tree = plan.__dict__.get("_cache_tree")
+    if tree is None:
         raise RuntimeError("solve_mf requires a preceding chol_mf on this plan")
     _prep_solve_indices(plan)
     fn = plan.__dict__.get("_solve_jit")
     if fn is None:
         fn = jax.jit(lambda Xd, cache: _solve_mf_dev(plan, Xd, cache))
         plan.__dict__["_solve_jit"] = fn
-    Xd = jnp.asarray(X, sc["Lxs"].dtype)
-    return np.asarray(fn(Xd, _collect_cache(plan)))
+    Xd = jnp.asarray(X, tree[1].dtype)
+    return np.asarray(fn(Xd, tree))
 
 
 def _solve_mf_dev(plan: MFPlan, X, cache):

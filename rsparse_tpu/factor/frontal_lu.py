@@ -514,15 +514,6 @@ def _lu_skel_tri_plans(plan: LUMFPlan):
     return tp
 
 
-def _collect_lu_cache(plan: LUMFPlan):
-    """Flatten the per-plan factor values into a pytree arg (see
-    frontal._collect_cache — values must be traced, not baked)."""
-    sc = plan.__dict__["_solve_cache"]
-    sub = (_collect_lu_cache(plan.skel_plan)
-           if isinstance(plan.skel_plan, LUMFPlan) else None)
-    return (tuple(sc["fronts"]), sc["Lxs"], sc["Uxs"], sub)
-
-
 def _prep_lu_solve_indices(plan: LUMFPlan):
     """Eagerly build device-resident index caches (must not be created
     inside the jit trace — tracer leak)."""
@@ -551,16 +542,16 @@ def solve_lu_mf(plan: LUMFPlan, X: np.ndarray) -> np.ndarray:
     X is [n, B]. Front work is dense batched triangular solves; only the
     innermost skeleton runs level sweeps. The recursive solve compiles into
     a single launch per (plan, batch-shape)."""
-    sc = plan.__dict__.get("_solve_cache")
-    if sc is None:
+    tree = plan.__dict__.get("_cache_tree")
+    if tree is None:
         raise RuntimeError("solve_lu_mf requires a preceding lu_mf")
     _prep_lu_solve_indices(plan)
     fn = plan.__dict__.get("_solve_jit")
     if fn is None:
         fn = jax.jit(lambda Xd, cache: _solve_lu_mf_dev(plan, Xd, cache))
         plan.__dict__["_solve_jit"] = fn
-    Xd = jnp.asarray(X, sc["Lxs"].dtype)
-    return np.asarray(fn(Xd, _collect_lu_cache(plan)))
+    Xd = jnp.asarray(X, tree[1].dtype)
+    return np.asarray(fn(Xd, tree))
 
 
 def _solve_lu_mf_dev(plan: LUMFPlan, X, cache):
@@ -602,90 +593,117 @@ def _solve_lu_mf_dev(plan: LUMFPlan, X, cache):
     return Xd[:n]
 
 
-def _lu_mf_values(Ax, plan: LUMFPlan, tolv):
-    """Recursive core: factor device values Ax of the plan's (permuted)
-    system. Returns (Lx, Ux, margins, bads); caches solve factors."""
-    from ._scan import run_grouped
-    from .lu_device import LUPlan, _lu_step
+def _prep_lu_factor_indices(plan: LUMFPlan):
+    """Eagerly build every device index tensor the factorization reads (the
+    fused jit must not create tracers into plan caches)."""
+    from ._scan import stack_groups
+    from .lu_device import LUPlan, _prep_lu_tail_dev
 
-    Lx = jnp.zeros(plan.lnz + 1, dtype=Ax.dtype)
-    Ux = jnp.zeros(plan.unz + 1, dtype=Ax.dtype)
-    Csx = jnp.zeros(plan.skel_cnnz + 1, dtype=Ax.dtype)
-    Csx = Csx.at[jnp.asarray(plan.skel_a_dst)].add(
-        Ax[jnp.asarray(plan.skel_a_src)], mode="drop")
-    margins, bads = [], []
-    front_vals = []
+    j = jnp.asarray
     for b in plan.buckets:
-        dev = b.__dict__.get("_dev")
-        if dev is None:
-            j = jnp.asarray
-            dev = tuple(j(t) for t in (
+        if b.__dict__.get("_dev") is None:
+            b.__dict__["_dev"] = tuple(j(t) for t in (
                 b.ass_pos, b.abr_pos, b.abc_pos,
                 b.lss_pos, b.lss_f, b.lss_r, b.lss_c,
                 b.uss_pos, b.uss_f, b.uss_r, b.uss_c,
                 b.lb_pos, b.lb_f, b.lb_r, b.lb_c,
                 b.ub_pos, b.ub_f, b.ub_r, b.ub_c,
                 b.schur_src, b.schur_dst))
-            b.__dict__["_dev"] = dev
+    if plan.__dict__.get("_asm_dev") is None:
+        plan.__dict__["_asm_dev"] = (j(plan.skel_a_src), j(plan.skel_a_dst))
+        plan.__dict__["_map_dev"] = (j(plan.skel_l_src), j(plan.skel_l_dst),
+                                     j(plan.skel_u_src), j(plan.skel_u_dst))
+    sp = plan.skel_plan
+    if isinstance(sp, LUMFPlan):
+        _prep_lu_factor_indices(sp)
+    else:
+        assert isinstance(sp, LUPlan)
+        cache = sp.__dict__.setdefault("_dev_groups", [])
+        if not cache:
+            cache.extend(stack_groups(sp.levels))
+        if sp.tail is not None:
+            _prep_lu_tail_dev(sp.tail)
+
+
+def _lu_mf_values(Ax, plan: LUMFPlan, tolv):
+    """Recursive core: factor device values Ax of the plan's (permuted)
+    system. Returns (Lx, Ux, margins, bads, cache tree). Requires
+    _prep_lu_factor_indices(plan) to have run eagerly."""
+    from ._scan import run_grouped
+    from .lu_device import LUPlan, _lu_step, _lu_tail_kernel
+
+    Lx = jnp.zeros(plan.lnz + 1, dtype=Ax.dtype)
+    Ux = jnp.zeros(plan.unz + 1, dtype=Ax.dtype)
+    Csx = jnp.zeros(plan.skel_cnnz + 1, dtype=Ax.dtype)
+    a_src, a_dst = plan.__dict__["_asm_dev"]
+    Csx = Csx.at[a_dst].add(Ax[a_src], mode="drop")
+    margins, bads = [], []
+    front_vals = []
+    for b in plan.buckets:
         Lx, Ux, Csx, mg, bd, Lss, Uss, LB, UB = _lu_front_kernel(
-            Lx, Ux, Csx, Ax, tolv, *dev)
+            Lx, Ux, Csx, Ax, tolv, *b.__dict__["_dev"])
         margins.append(mg)
         bads.append(bd)
         front_vals.append((Lss, Uss, LB, UB))
 
     sp = plan.skel_plan
     if isinstance(sp, LUMFPlan):  # recursive layer (skeleton is unpermuted)
-        Lxs, Uxs, m2, b2 = _lu_mf_values(Csx[: plan.skel_cnnz], sp, tolv)
+        Lxs, Uxs, m2, b2, sub_cache = _lu_mf_values(Csx[: plan.skel_cnnz], sp, tolv)
         margins += m2
         bads += b2
     else:
         assert isinstance(sp, LUPlan)
+        sub_cache = None
         Lxs = jnp.zeros(sp.lnz + 1, dtype=Ax.dtype)
         Uxs = jnp.zeros(sp.unz + 1, dtype=Ax.dtype)
-        cache = sp.__dict__.setdefault("_dev_groups", [])
         (Lxs, Uxs), aux = run_grouped(
             sp.levels, _lu_step, (Lxs, Uxs),
-            (Csx[: plan.skel_cnnz], tolv), cache)
+            (Csx[: plan.skel_cnnz], tolv), sp.__dict__["_dev_groups"])
         for gq in aux:
             margins.append(jnp.min(jnp.atleast_1d(gq[0])))
             bads.append(jnp.any(jnp.atleast_1d(gq[1])))
         if sp.tail is not None:
-            from .lu_device import _lu_tail_run
-
-            Lxs, Uxs, mgt, bdt = _lu_tail_run(
-                Lxs, Uxs, Csx[: plan.skel_cnnz], tolv, sp.tail)
+            (*_, nlev, emax, wmax) = sp.tail.tri
+            Lxs, Uxs, mgt, bdt = _lu_tail_kernel(
+                Lxs, Uxs, Csx[: plan.skel_cnnz], tolv,
+                *sp.tail.__dict__["_dev"],
+                nlev=nlev, emax=emax, wmax=wmax, cut=sp.tail.cut)
             margins.append(mgt)
             bads.append(bdt)
-    Lx = Lx.at[jnp.asarray(plan.skel_l_dst)].set(
-        Lxs[jnp.asarray(plan.skel_l_src)], mode="drop")
-    Ux = Ux.at[jnp.asarray(plan.skel_u_dst)].set(
-        Uxs[jnp.asarray(plan.skel_u_src)], mode="drop")
-    plan.__dict__["_solve_cache"] = {"fronts": front_vals,
-                                     "Lxs": Lxs, "Uxs": Uxs}
-    return Lx, Ux, margins, bads
+    l_src, l_dst, u_src, u_dst = plan.__dict__["_map_dev"]
+    Lx = Lx.at[l_dst].set(Lxs[l_src], mode="drop")
+    Ux = Ux.at[u_dst].set(Uxs[u_src], mode="drop")
+    cache = (tuple(front_vals), Lxs, Uxs, sub_cache)
+    return Lx, Ux, margins, bads, cache
 
 
 def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
-    """Run the multifrontal LU; returns lu_device-style tuple or None when
-    the stability margin rejects static pivoting (caller falls back)."""
+    """Run the multifrontal LU as ONE fused launch; returns lu_device-style
+    tuple or None when the stability margin rejects static pivoting."""
+    _prep_lu_factor_indices(plan)
+    fn = plan.__dict__.get("_factor_jit")
+    if fn is None:
+        def run(Ax, tolv):
+            Lx, Ux, margins, bads, cache = _lu_mf_values(Ax, plan, tolv)
+            mg = (jnp.min(jnp.stack(margins)) if margins
+                  else jnp.asarray(0.0, Ax.dtype))
+            bad = jnp.any(jnp.stack(bads)) if bads else jnp.asarray(False)
+            return Lx, Ux, mg, bad, cache
+
+        fn = jax.jit(run)
+        plan.__dict__["_factor_jit"] = fn
     ax_host = a.x[: a.nnz()]
     if plan.vperm is not None:  # factorization runs on A(P, P)
         ax_host = ax_host[plan.vperm]
     Ax = jnp.asarray(ax_host)
     tolv = jnp.asarray(float(tol), Ax.dtype)
-    Lx, Ux, margins, bads = _lu_mf_values(Ax, plan, tolv)
-    mg = float(jnp.min(jnp.stack(margins))) if margins else 0.0
-    bad = bool(jnp.any(jnp.stack(bads))) if bads else False
-    if bad or not (mg >= 0.0):
+    Lx, Ux, mg, bad, cache = fn(Ax, tolv)
+    if bool(bad) or not (float(mg) >= 0.0):
         # host fallback will produce different (pivoted) factors — a stale
-        # front cache must not serve solves for them
-        def _clear(p):
-            p.__dict__.pop("_solve_cache", None)
-            if isinstance(p.skel_plan, LUMFPlan):
-                _clear(p.skel_plan)
-
-        _clear(plan)
+        # cache must not serve solves for them
+        plan.__dict__.pop("_cache_tree", None)
         return None
+    plan.__dict__["_cache_tree"] = cache
     pinv = (plan.row_pinv if plan.row_pinv is not None
             else np.arange(plan.n, dtype=np.int64))
     return (plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz]),

@@ -379,7 +379,8 @@ def _lu_tail_kernel(Lx, Ux, Ax, tol, ant_pos, att_pos,
     return Lx, Ux, margin, bad
 
 
-def _lu_tail_run(Lx, Ux, Ax, tol, tail: LUDenseTail):
+def _prep_lu_tail_dev(tail: LUDenseTail):
+    """Eagerly build the LU tail's device index tensors (never in a trace)."""
     (ent_pos, ent_row, ent_col, ent_slot, ent_off,
      col_id, col_diag, col_off, nlev, emax, wmax) = tail.tri
     dev = tail.__dict__.get("_dev")
@@ -393,6 +394,12 @@ def _lu_tail_run(Lx, Ux, Ax, tol, tail: LUDenseTail):
             ent_pos, ent_row, ent_col, ent_slot, ent_off,
             col_id, col_diag, col_off))
         tail.__dict__["_dev"] = dev
+    return dev
+
+
+def _lu_tail_run(Lx, Ux, Ax, tol, tail: LUDenseTail):
+    (*_, nlev, emax, wmax) = tail.tri
+    dev = _prep_lu_tail_dev(tail)
     return _lu_tail_kernel(Lx, Ux, Ax, tol, *dev,
                            nlev=nlev, emax=emax, wmax=wmax, cut=tail.cut)
 
