@@ -330,7 +330,8 @@ def cholsol_multi(a: Sprs, B, order: int = 0, *, sym: Optional[Symb] = None):
     else:
         X[:] = Bm
     mfp = getattr(s, "_mf_plan", None)
-    if mfp is not None and "_cache_tree" in mfp.__dict__:
+    if (mfp is not None and "_cache_tree" in mfp.__dict__
+            and config.backend != "host"):
         from .factor.frontal import solve_mf
 
         X = solve_mf(mfp, X)
@@ -374,7 +375,8 @@ def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
     else:
         X[:] = Bm
     mfp = getattr(s, "_mf_lu_plan", None)
-    if mfp is not None and "_cache_tree" in mfp.__dict__:
+    if (mfp is not None and "_cache_tree" in mfp.__dict__
+            and config.backend != "host"):
         from .factor.frontal_lu import solve_lu_mf
 
         X = solve_lu_mf(mfp, X)
@@ -413,7 +415,8 @@ def qrsol_ls(a: Sprs, b, order: int = 0, refine: int = 2,
     s = sym if sym is not None else _schol(g, order)
     nm = _chol(g, s)  # factor ONCE; solves below reuse the cached factors
     mfp = getattr(s, "_mf_plan", None)
-    use_mf = mfp is not None and "_cache_tree" in mfp.__dict__
+    use_mf = (mfp is not None and "_cache_tree" in mfp.__dict__
+              and config.backend != "host")
     pinv = np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None else None
     tp0 = tri_plan(nm.l, 0) if not use_mf else None
     tp2 = tri_plan(nm.l, 2) if not use_mf else None
@@ -603,7 +606,8 @@ def cholsol(a: Sprs, b, order: int = 0, *, sym: Optional[Symb] = None):
     with phase_timer("cholsol.solve", nnz=2 * s.lnz):
         ops.ipvec(n, s.pinv, bb, x)  # x = P*b
         mfp = getattr(s, "_mf_plan", None)
-        if mfp is not None and "_cache_tree" in mfp.__dict__:
+        if (mfp is not None and "_cache_tree" in mfp.__dict__
+                and config.backend != "host"):
             from .factor.frontal import solve_mf
 
             x = solve_mf(mfp, x[:, None])[:, 0]
@@ -637,7 +641,8 @@ def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6,
     with phase_timer("lusol.solve", nnz=s.lnz + s.unz):
         ops.ipvec(n, nm.pinv, bb, x)  # x = P*b
         mfp = getattr(s, "_mf_lu_plan", None)
-        if mfp is not None and "_cache_tree" in mfp.__dict__:
+        if (mfp is not None and "_cache_tree" in mfp.__dict__
+                and config.backend != "host"):
             from .factor.frontal_lu import solve_lu_mf
 
             x = solve_lu_mf(mfp, x[:, None])[:, 0]
