@@ -68,8 +68,9 @@ def main():
     y = np.zeros(n)
 
     # --- CPU baseline: the reference's sequential gaxpy loop, C++ -O3 ------
+    # best-of-5 to damp host load noise in the denominator
     best_cpu = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         r_cpu = native.gaxpy_host(n, n, Ap, Ai, Ax, x, y)
         best_cpu = min(best_cpu, time.perf_counter() - t0)
