@@ -378,23 +378,39 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
         skel_plan = build_lu_plan(c_skel, s_sub)
     if skel_plan is None or not isinstance(skel_plan, (LUPlan, LUMFPlan)):
         return None
-    # position maps skeleton L/U -> global (column-by-column; both conventions
-    # are diag-first (L) / diag-last (U) with ascending rows)
-    sl_src, sl_dst, su_src, su_dst = [], [], [], []
-    for jloc, jg in enumerate(skel):
-        gl = [p_ for p_ in range(int(Lp[jg]), int(Lp[jg + 1]))]
-        sl = list(range(int(skel_plan.Lp[jloc]), int(skel_plan.Lp[jloc + 1])))
-        if len(gl) != len(sl):
-            return None  # pattern mismatch — bail to level path
-        sl_src.extend(sl); sl_dst.extend(gl)
-        # global U column jg rows: front (S) rows were written by the front
-        # kernels (ub scatter); skeleton rows come from the compact factor
-        gu = [p_ for p_ in range(int(Up[jg]), int(Up[jg + 1]))
-              if sk_mask[Ui[p_]] or Ui[p_] == jg]
-        su = list(range(int(skel_plan.Up[jloc]), int(skel_plan.Up[jloc + 1])))
-        if len(gu) != len(su):
-            return None
-        su_src.extend(su); su_dst.extend(gu)
+    # position maps skeleton L/U -> global. The skeleton pattern may be a
+    # strict SUPERSET of the global restricted pattern: the per-front clique
+    # (∪Br)x(∪Bc) over-approximates the union of per-column cliques for
+    # unsymmetric patterns — but the extra skeleton positions receive exact
+    # numeric zeros (each Schur term needs r∈Br_j AND c∈Bc_j for the SAME
+    # j), so mapping every GLOBAL entry into the skeleton factor by lookup
+    # is exact; unmapped skeleton entries simply aren't copied back.
+    skel_lcols = np.repeat(np.arange(ns, dtype=np.int64),
+                           np.diff(skel_plan.Lp))
+    skl_keys = skel_lcols * np.int64(ns) + skel_plan.Li
+    skl_order = np.argsort(skl_keys, kind="stable")
+    skl_sorted = skl_keys[skl_order]
+    skel_ucols = np.repeat(np.arange(ns, dtype=np.int64),
+                           np.diff(skel_plan.Up))
+    sku_keys = skel_ucols * np.int64(ns) + skel_plan.Ui
+    sku_order = np.argsort(sku_keys, kind="stable")
+    sku_sorted = sku_keys[sku_order]
+    glob_lcols = col_ids(Lp, n)
+    sel_l = sk_mask[glob_lcols]  # skeleton columns' L entries (rows all skel)
+    sl_dst = np.nonzero(sel_l)[0]
+    sl_src = _lookup(skl_sorted, skl_order,
+                     g[glob_lcols[sel_l]] * np.int64(ns) + g[Li[sel_l]])
+    if (sl_src < 0).any():
+        return None  # true containment violation — bail safely
+    glob_ucols = ucols
+    # global U skeleton-column entries at skeleton rows (front S-rows were
+    # written by the front kernels' ub scatter)
+    sel_u = sk_mask[glob_ucols] & sk_mask[Ui]
+    su_dst = np.nonzero(sel_u)[0]
+    su_src = _lookup(sku_sorted, sku_order,
+                     g[glob_ucols[sel_u]] * np.int64(ns) + g[Ui[sel_u]])
+    if (su_src < 0).any():
+        return None
     return LUMFPlan(
         n=n, lnz=lnz, unz=unz, Lp=Lp, Li=Li, Up=Up, Ui=Ui, buckets=buckets,
         skel=skel, skel_plan=skel_plan, skel_cnnz=s_cnnz,

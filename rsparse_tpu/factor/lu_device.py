@@ -127,9 +127,7 @@ def build_lu_plan(a: Sprs, s: Symb, level_batch: int = 2048) -> Optional[LUPlan]
     # quick cost estimate: sum over columns of r^2 + lr*r
     rcnt = np.diff(Up) - 1  # offdiag U rows per column
     lcnt = np.diff(Lp) - 1  # offdiag L rows per column
-    est = int(np.sum(rcnt * rcnt + lcnt * rcnt))
-    if est > PLAN_ENTRY_CAP:
-        return None
+    est_col = rcnt * rcnt + lcnt * rcnt
 
     # position lookup tables
     lcols = col_ids(Lp, n)
@@ -155,6 +153,13 @@ def build_lu_plan(a: Sprs, s: Symb, level_batch: int = 2048) -> Optional[LUPlan]
     from .chol_device import _choose_cut
 
     cut = _choose_cut(level, n)
+    # plan-size guard: dense-ish systems blow up the level gather tensors —
+    # push the cut down so the dense trailing block absorbs the heavy part
+    # (dense LU flops are cheap on the MXU; positional gathers are not)
+    while cut > 8 and int(np.sum(est_col[:cut])) > PLAN_ENTRY_CAP:
+        cut = max(8, min(cut - 512, int(cut * 3 // 4)))
+    if int(np.sum(est_col[:cut])) > PLAN_ENTRY_CAP or n - cut > 4096:
+        return None  # still too big (or a >4096 dense block): host engine wins
     lev_n = level[:cut]
     nlev = int(lev_n.max()) + 1 if cut else 0
     order_by_level = np.argsort(lev_n, kind="stable")  # indices < cut only
@@ -449,7 +454,7 @@ def lu_device(a: Sprs, s: Symb, tol: float):
     identity when the static factorization is accepted. Large systems route
     through the multifrontal path (factor/frontal_lu) first.
     """
-    if a.n >= config.mf_min_n:
+    if a.n >= config.mf_min_n and not getattr(s, "_static_rejected", False):
         from .frontal_lu import build_lu_mf_plan, lu_mf
 
         mfp = getattr(s, "_mf_lu_plan", "unset")
@@ -463,7 +468,9 @@ def lu_device(a: Sprs, s: Symb, tol: float):
             out = lu_mf(a, s, mfp, tol)
             if out is not None:
                 return out
-            # stability margin rejected static pivoting
+            # stability margin rejected static pivoting: remember so sym-
+            # reuse callers don't pay the device attempt every solve
+            s._static_rejected = True
             return native.lu_numeric(
                 a.n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol,
                 s.lnz, s.unz)
