@@ -416,19 +416,46 @@ def _chol_mf_values(Cx, plan: MFPlan):
     return Lx, dmins, cache
 
 
-def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
-    """Run the multifrontal factorization as ONE fused launch; returns
-    (Lp, Li, Lx_host) and caches the solve tree on the plan."""
-    _prep_factor_indices(plan)
-    fn = plan.__dict__.get("_factor_jit")
-    if fn is None:
-        def run(Cx):
-            Lx, dmins, cache = _chol_mf_values(Cx, plan)
-            return Lx, jnp.min(jnp.stack(dmins)) if dmins else jnp.asarray(1.0, Cx.dtype), cache
+# Above this many index-tensor entries the fused program exceeds what the
+# remote compile service accepts (constants are embedded in the MLIR blob);
+# run the cores eagerly (per-kernel launches) instead.
+FUSE_ENTRY_CAP = 8_000_000
 
-        fn = jax.jit(run)
-        plan.__dict__["_factor_jit"] = fn
-    Lx, dmin, cache = fn(jnp.asarray(c.x[: c.nnz()]))
+
+def _plan_index_entries(plan: MFPlan) -> int:
+    total = sum(b.ass_pos.size + b.abs_pos.size + b.lss_pos.size
+                + b.lbs_pos.size + b.schur_src.size for b in plan.buckets)
+    total += plan.skel_a_src.size + plan.skel_l_src.size
+    sp = plan.skel_plan
+    if isinstance(sp, MFPlan):
+        total += _plan_index_entries(sp)
+    else:
+        total += sum(sum(t.size for t in lev) for lev in sp.levels)
+    return total
+
+
+def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
+    """Run the multifrontal factorization — as ONE fused launch when the
+    plan is small enough for the compile pipeline, eagerly otherwise.
+    Returns (Lp, Li, Lx_host) and caches the solve tree on the plan."""
+    _prep_factor_indices(plan)
+    fuse = plan.__dict__.setdefault(
+        "_fuse_ok", _plan_index_entries(plan) <= FUSE_ENTRY_CAP)
+    if fuse:
+        fn = plan.__dict__.get("_factor_jit")
+        if fn is None:
+            def run(Cx):
+                Lx, dmins, cache = _chol_mf_values(Cx, plan)
+                dmin = (jnp.min(jnp.stack(dmins)) if dmins
+                        else jnp.asarray(1.0, Cx.dtype))
+                return Lx, dmin, cache
+
+            fn = jax.jit(run)
+            plan.__dict__["_factor_jit"] = fn
+        Lx, dmin, cache = fn(jnp.asarray(c.x[: c.nnz()]))
+    else:
+        Lx, dmins, cache = _chol_mf_values(jnp.asarray(c.x[: c.nnz()]), plan)
+        dmin = jnp.min(jnp.stack(dmins)) if dmins else 1.0
     plan.__dict__["_cache_tree"] = cache
     if not float(dmin) > 0.0:
         raise NotPositiveDefiniteError()

@@ -693,27 +693,51 @@ def _lu_mf_values(Ax, plan: LUMFPlan, tolv):
     return Lx, Ux, margins, bads, cache
 
 
-def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
-    """Run the multifrontal LU as ONE fused launch; returns lu_device-style
-    tuple or None when the stability margin rejects static pivoting."""
-    _prep_lu_factor_indices(plan)
-    fn = plan.__dict__.get("_factor_jit")
-    if fn is None:
-        def run(Ax, tolv):
-            Lx, Ux, margins, bads, cache = _lu_mf_values(Ax, plan, tolv)
-            mg = (jnp.min(jnp.stack(margins)) if margins
-                  else jnp.asarray(0.0, Ax.dtype))
-            bad = jnp.any(jnp.stack(bads)) if bads else jnp.asarray(False)
-            return Lx, Ux, mg, bad, cache
+def _lu_plan_index_entries(plan: LUMFPlan) -> int:
+    total = sum(b.ass_pos.size + b.abr_pos.size + b.abc_pos.size
+                + b.lss_pos.size + b.uss_pos.size + b.lb_pos.size
+                + b.ub_pos.size + b.schur_src.size for b in plan.buckets)
+    total += plan.skel_a_src.size + plan.skel_l_src.size + plan.skel_u_src.size
+    sp = plan.skel_plan
+    if isinstance(sp, LUMFPlan):
+        total += _lu_plan_index_entries(sp)
+    else:
+        total += sum(sum(t.size for t in lev) for lev in sp.levels)
+    return total
 
-        fn = jax.jit(run)
-        plan.__dict__["_factor_jit"] = fn
+
+def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
+    """Run the multifrontal LU — fused into one launch when the plan is
+    small enough for the compile pipeline, eagerly otherwise. Returns a
+    lu_device-style tuple or None when the stability margin rejects static
+    pivoting."""
+    from .frontal import FUSE_ENTRY_CAP
+
+    _prep_lu_factor_indices(plan)
     ax_host = a.x[: a.nnz()]
     if plan.vperm is not None:  # factorization runs on A(P, P)
         ax_host = ax_host[plan.vperm]
     Ax = jnp.asarray(ax_host)
     tolv = jnp.asarray(float(tol), Ax.dtype)
-    Lx, Ux, mg, bad, cache = fn(Ax, tolv)
+    fuse = plan.__dict__.setdefault(
+        "_fuse_ok", _lu_plan_index_entries(plan) <= FUSE_ENTRY_CAP)
+    if fuse:
+        fn = plan.__dict__.get("_factor_jit")
+        if fn is None:
+            def run(Ax, tolv):
+                Lx, Ux, margins, bads, cache = _lu_mf_values(Ax, plan, tolv)
+                mg = (jnp.min(jnp.stack(margins)) if margins
+                      else jnp.asarray(0.0, Ax.dtype))
+                bad = jnp.any(jnp.stack(bads)) if bads else jnp.asarray(False)
+                return Lx, Ux, mg, bad, cache
+
+            fn = jax.jit(run)
+            plan.__dict__["_factor_jit"] = fn
+        Lx, Ux, mg, bad, cache = fn(Ax, tolv)
+    else:
+        Lx, Ux, margins, bads, cache = _lu_mf_values(Ax, plan, tolv)
+        mg = jnp.min(jnp.stack(margins)) if margins else 0.0
+        bad = jnp.any(jnp.stack(bads)) if bads else False
     if bool(bad) or not (float(mg) >= 0.0):
         # host fallback will produce different (pivoted) factors — a stale
         # cache must not serve solves for them
