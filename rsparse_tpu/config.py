@@ -25,8 +25,10 @@ class Config:
     # kernels; "host" runs the native C++ fast path (useful as an oracle and
     # for tiny latency-bound problems). "auto" picks device.
     backend: str = os.environ.get("RSPARSE_TPU_BACKEND", "device")
-    # Use Pallas kernels where available (TPU only); falls back to XLA ops.
-    use_pallas: bool = os.environ.get("RSPARSE_TPU_PALLAS", "0") == "1"
+    # Use Pallas kernels where available (TPU only); set False (or env
+    # RSPARSE_TPU_PALLAS=0) to force the portable XLA lowering — the
+    # "sanitizer" path for kernel debugging (SURVEY.md §5).
+    use_pallas: bool = os.environ.get("RSPARSE_TPU_PALLAS", "1") == "1"
     # Maximum padded batch width for level-scheduled factorization kernels.
     level_batch: int = 1024
     # Below this operand nnz, L2 op value passes run on host numpy when the

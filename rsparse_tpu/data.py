@@ -465,11 +465,10 @@ class Trpl:
         for k in range(len(self.x)):
             groups[(self.i[k], self.p[k])].append(k)
         for _, idxs in groups.items():
-            if len(idxs) > 1 or True:
-                total = sum(self.x[k] for k in idxs)
-                for k in idxs:
-                    self.x[k] = 0.0
-                self.x[idxs[-1]] = total
+            total = sum(self.x[k] for k in idxs)
+            for k in idxs:
+                self.x[k] = 0.0
+            self.x[idxs[-1]] = total
 
     def get(self, row: int, column: int) -> Optional[float]:
         for k in range(len(self.x)):

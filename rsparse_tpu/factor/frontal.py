@@ -456,9 +456,12 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
     else:
         Lx, dmins, cache = _chol_mf_values(jnp.asarray(c.x[: c.nnz()]), plan)
         dmin = jnp.min(jnp.stack(dmins)) if dmins else 1.0
-    plan.__dict__["_cache_tree"] = cache
     if not float(dmin) > 0.0:
+        # do NOT cache the garbage tree (mirrors lu_mf's invalidation): a
+        # future sym-reuse solve must not dispatch on a stale '_cache_tree'
+        plan.__dict__.pop("_cache_tree", None)
         raise NotPositiveDefiniteError()
+    plan.__dict__["_cache_tree"] = cache
     return plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz])
 
 

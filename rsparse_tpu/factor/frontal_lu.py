@@ -171,7 +171,9 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
             P = P[post]
         else:
             return None
-        s.q = P
+        # committed to s.q only when plan construction succeeds (bail-outs
+        # below must leave the caller's Symb untouched for the host path)
+        new_q = P
         row_pinv = pinvP
         from ..ops.plan import permute_plan
 
@@ -182,6 +184,7 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
         parent, post = _sym_pattern_etree(a, None)
         if not np.array_equal(post, np.arange(n)):
             return None  # natural order must stay untouched (parity)
+        new_q = None
         a_work = a
         q = None
     a = a_work
@@ -210,7 +213,9 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
     g = np.full(n, -1, dtype=np.int64)
     g[skel] = np.arange(ns)
 
-    # containment safety: U rows of front columns must stay inside the front
+    # containment safety: U rows of front columns must stay inside the front,
+    # and L rows of front columns must lie in S or below (the same
+    # struct ⊆ chol(A+A') argument; a row above S would scatter negatively)
     ucols = col_ids(Up, n)
     lcols = col_ids(Lp, n)
     for r in roots:
@@ -219,6 +224,8 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
         uc = ucols[Up[aa] : Up[int(r) + 1]]
         if ((urows < aa) & (uc >= aa)).any():
             return None  # theory violated (shouldn't happen) — bail safely
+        if (Li[Lp[aa] : Lp[int(r) + 1]] < aa).any():
+            return None  # L containment violated — bail safely
 
     # A keys in k-space
     anz = a.nnz()
@@ -411,6 +418,8 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
                      g[glob_ucols[sel_u]] * np.int64(ns) + g[Ui[sel_u]])
     if (su_src < 0).any():
         return None
+    if row_pinv is not None:
+        s.q = new_q  # commit the composed ordering only on success
     return LUMFPlan(
         n=n, lnz=lnz, unz=unz, Lp=Lp, Li=Li, Up=Up, Ui=Ui, buckets=buckets,
         skel=skel, skel_plan=skel_plan, skel_cnnz=s_cnnz,

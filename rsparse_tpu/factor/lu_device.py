@@ -266,9 +266,9 @@ def _build_lu_tail(n, cut, Lp, Li, Up, Ui, lnz, unz, akeys_s, aorder, lcols):
            tp.col_id, col_diag, tp.col_off, tp.nlev, tp.emax, tp.wmax)
     i_grid = np.arange(cut, dtype=np.int64)[:, None]
     t_grid = (cut + np.arange(D, dtype=np.int64))[None, :]
-    ant_pos = _lookup_mod(akeys_s, aorder, t_grid * np.int64(n) + i_grid)
+    ant_pos = _lookup(akeys_s, aorder, t_grid * np.int64(n) + i_grid)
     a_grid = (cut + np.arange(D, dtype=np.int64))[:, None]
-    att_pos = _lookup_mod(akeys_s, aorder, t_grid * np.int64(n) + a_grid)
+    att_pos = _lookup(akeys_s, aorder, t_grid * np.int64(n) + a_grid)
     # L(T, N): entries of columns < cut with rows >= cut (already computed
     # by the level phase — gathered densely)
     m21 = (lcols < cut) & (Li >= cut)
@@ -299,10 +299,6 @@ def _build_lu_tail(n, cut, Lp, Li, Up, Ui, lnz, unz, akeys_s, aorder, lcols):
         utt_r=(Ui[ptt_u] - cut).astype(np.int32),
         utt_c=(ucols[ptt_u] - cut).astype(np.int32),
     )
-
-
-def _lookup_mod(keys_sorted, order, qkeys):
-    return _lookup(keys_sorted, order, qkeys)
 
 
 def _unpivoted_lu_blocked(M, panel: int = 64):

@@ -49,6 +49,21 @@ def norm1(ax, cols, n: int):
 
 
 @jax.jit
+def spmv_csc(a, x, y=None):
+    """r = A@x (+ y) consuming a `data.CSCDevice` pytree directly under jit.
+
+    The per-entry column ids are recovered from the pointer array with a
+    searchsorted (static shapes: nnz is a pytree aux dim), so a CSCDevice can
+    flow through user jit/grad code without host round-trips. Reference
+    semantics: gaxpy, src/lib.rs:411-421.
+    """
+    e = jnp.arange(a.i.shape[0])
+    cols = jnp.searchsorted(a.p, e, side="right") - 1
+    r = jax.ops.segment_sum(a.x * x[cols], a.i, num_segments=a.m)
+    return r if y is None else r + y
+
+
+@jax.jit
 def scpmat_values(alpha, ax):
     return ax + alpha
 

@@ -14,6 +14,7 @@ loops).
 from __future__ import annotations
 
 import dataclasses
+from collections import OrderedDict
 from typing import Optional, Tuple
 
 import numpy as np
@@ -24,6 +25,38 @@ from ..data import Sprs
 def col_ids(p: np.ndarray, n: int) -> np.ndarray:
     """Expand CSC column pointers to a per-entry column-index array."""
     return np.repeat(np.arange(n, dtype=np.int64), np.diff(p[: n + 1]))
+
+
+# ---------------------------------------------------------------------------
+# Pattern-keyed plan cache: repeated add/multiply/transpose on one sparsity
+# pattern skip the O(nnz log nnz) replanning (the numeric kernel then reuses
+# the already-compiled XLA program too). Keyed by a content fingerprint of
+# (m, n, p, i) — O(nnz) hashing, ~20x cheaper than the argsort it avoids —
+# so it is robust to in-place pattern mutation (trim/fkeep).
+# ---------------------------------------------------------------------------
+
+_PLAN_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_PLAN_CACHE_CAP = 128
+
+
+def pattern_key(a: Sprs) -> tuple:
+    nz = a.nnz()
+    return (a.m, a.n, int(nz),
+            hash(np.ascontiguousarray(a.p[: a.n + 1]).tobytes()),
+            hash(np.ascontiguousarray(a.i[:nz]).tobytes()))
+
+
+def _cached_plan(op: str, builder, *mats: Sprs):
+    key = (op,) + tuple(pattern_key(m) for m in mats)
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        plan = builder(*mats)
+        _PLAN_CACHE[key] = plan
+        if len(_PLAN_CACHE) > _PLAN_CACHE_CAP:
+            _PLAN_CACHE.popitem(last=False)
+    else:
+        _PLAN_CACHE.move_to_end(key)
+    return plan
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +80,11 @@ class SpGEMMPlan:
 
 
 def spgemm_plan(a: Sprs, b: Sprs) -> SpGEMMPlan:
+    """Cached wrapper: one plan per (pattern(A), pattern(B))."""
+    return _cached_plan("spgemm", _spgemm_plan_build, a, b)
+
+
+def _spgemm_plan_build(a: Sprs, b: Sprs) -> SpGEMMPlan:
     if a.n != b.m:
         raise ValueError(f"dimension mismatch: A is {a.m}x{a.n}, B is {b.m}x{b.n}")
     anz = a.nnz()
@@ -107,6 +145,11 @@ class AddPlan:
 
 
 def add_plan(a: Sprs, b: Sprs) -> AddPlan:
+    """Cached wrapper: one plan per (pattern(A), pattern(B))."""
+    return _cached_plan("add", _add_plan_build, a, b)
+
+
+def _add_plan_build(a: Sprs, b: Sprs) -> AddPlan:
     # The reference indexes with A's m and B's n without checking shapes
     # (src/lib.rs:249-255); we validate.
     if a.m != b.m or a.n != b.n:
@@ -150,6 +193,11 @@ class TransposePlan:
 
 
 def transpose_plan(a: Sprs) -> TransposePlan:
+    """Cached wrapper: one plan per pattern(A)."""
+    return _cached_plan("transpose", _transpose_plan_build, a)
+
+
+def _transpose_plan_build(a: Sprs) -> TransposePlan:
     nz = a.nnz()
     rows = a.i[:nz]
     cols = col_ids(a.p, a.n)

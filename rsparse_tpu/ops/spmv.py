@@ -186,9 +186,11 @@ def spmv_fn(plan: DiaPlan):
     import jax
     import jax.numpy as jnp
 
+    from ..config import config
+
     dt = plan.dia.dtype.name
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
+    if on_tpu and config.use_pallas:
         kern = _dia_kernel_tpu(plan.offsets, plan.rr, plan.pad_rows,
                                plan.tile_rows, dt)
     else:
@@ -251,8 +253,12 @@ def spgemm_dia(a: Sprs, b: Sprs, trim: bool = True) -> Sprs:
     m = a.m
     rr_c = -(-max(m, b.n) // _LANE)
     n_el_c = rr_c * _LANE
-    # pad B rows so b[i - o1] stays in range for all o1
+    # pad B rows so b[i - o1] stays in range for all o1. The slice window is
+    # [pad - o1, pad - o1 + n_el_c); with o1 ∈ [-pad, pad] its end can reach
+    # 2*pad + n_el_c, and the buffer must also hold db itself (pad + n_el_b)
+    # — tall-rectangular A makes n_el_c exceed n_el_b, so size for both.
     pad = max((abs(o) for o in pa.offsets), default=0) + _LANE
+    wb = pad + max(n_el_b, pad + n_el_c)
     # scatter rows per o1: all KB target diagonals at once (vectorized over
     # o2 so the traced loop is KA iterations, not KA*KB)
     rows_per_o1 = np.asarray(
@@ -262,7 +268,7 @@ def spgemm_dia(a: Sprs, b: Sprs, trim: bool = True) -> Sprs:
 
     @jax.jit
     def compute(da, db):
-        dbp = jnp.zeros((KB, n_el_b + 2 * pad), db.dtype)
+        dbp = jnp.zeros((KB, wb), db.dtype)
         dbp = jax.lax.dynamic_update_slice(dbp, db, (0, pad))
         c = jnp.zeros((len(c_offsets), n_el_c), da.dtype)
         for i1, o1 in enumerate(pa.offsets):

@@ -131,10 +131,11 @@ def _spmv_shard(vals, rows, cols, x, m: int, axis: str):
     )
 
 
-def dist_gaxpy(ep: EntryPartition, x, y, mesh: Mesh, axis: str = "model"):
-    """SPMD r = A@x + y (reference semantics: src/lib.rs:411-421).
+def make_gaxpy(ep: EntryPartition, mesh: Mesh, axis: str = "model"):
+    """Build the jitted SPMD r = A@x + y once per (partition, mesh).
 
-    x, y replicated; entries sharded over `axis`.
+    Returns `f(vals, rows, cols, x, y) -> r`; reuse it across iterations —
+    rebuilding the shard_map/jit wrapper per call retraces every time.
     """
     fn = shard_map(
         lambda v, r, c, xx, yy: _spmv_shard(v, r, c, xx, ep.m, axis) + yy,
@@ -142,13 +143,38 @@ def dist_gaxpy(ep: EntryPartition, x, y, mesh: Mesh, axis: str = "model"):
         in_specs=(P(axis), P(axis), P(axis), P(), P()),
         out_specs=P(),
     )
-    return jax.jit(fn)(
+    return jax.jit(fn)
+
+
+def dist_gaxpy(ep: EntryPartition, x, y, mesh: Mesh, axis: str = "model"):
+    """SPMD r = A@x + y (reference semantics: src/lib.rs:411-421).
+
+    x, y replicated; entries sharded over `axis`. One-shot convenience
+    wrapper over `make_gaxpy` (cached per partition+mesh on `ep.__dict__`
+    is impossible — EntryPartition is frozen — so loops should call
+    `make_gaxpy` once and reuse the returned function).
+    """
+    fn = _gaxpy_cache_get(ep, mesh, axis)
+    return fn(
         jnp.asarray(ep.vals),
         jnp.asarray(ep.rows),
         jnp.asarray(ep.cols),
         jnp.asarray(np.asarray(x, dtype=ep.vals.dtype)),
         jnp.asarray(np.asarray(y, dtype=ep.vals.dtype)),
     )
+
+
+_GAXPY_CACHE: dict = {}
+
+
+def _gaxpy_cache_get(ep: EntryPartition, mesh: Mesh, axis: str):
+    key = (id(ep), id(mesh), axis, ep.m)
+    fn = _GAXPY_CACHE.get(key)
+    if fn is None:
+        if len(_GAXPY_CACHE) > 64:
+            _GAXPY_CACHE.clear()
+        fn = _GAXPY_CACHE.setdefault(key, make_gaxpy(ep, mesh, axis))
+    return fn
 
 
 def dist_norm(ep: EntryPartition, mesh: Mesh, axis: str = "model") -> float:
