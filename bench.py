@@ -1,21 +1,28 @@
-"""Benchmark: SpMV (gaxpy) throughput on TPU vs the reference CPU algorithm.
+"""Benchmark: end-to-end solver + kernel throughput on TPU vs the reference.
 
-Headline metric (BASELINE.md north-star): nnz/s of the device SpMV on a
-5-point Laplacian of a 1024x1024 grid (n=1,048,576, nnz≈5.2M), using the
-framework's DIA-format Pallas kernel (rsparse_tpu/ops/spmv.py). The baseline
-denominator is the reference's exact sequential column-major gaxpy loop
-(src/lib.rs:411-421) re-implemented in C++ -O3 (native rt_gaxpy) measured on
-this machine — the reference itself publishes no numbers (BASELINE.md).
+Headline metric (BASELINE.md: "lusol wall-clock vs rsparse CPU"): warm
+lusol on the reference's largest LU asset (lusol_6, 8000x8000, nnz=51,848)
+through the device multifrontal partial-pivoting path, against the native
+C++ re-implementation of the reference's exact algorithm (rt_lu_numeric +
+sequential solves) on this machine. vs_baseline > 1 means the TPU path beats
+the reference engine end-to-end (symbolic analysis amortized on both sides).
+
+The `extra` field carries the kernel metrics:
+  - spmv_dia_nnz_per_s     banded SpMV (Pallas DIA kernel) vs C++ gaxpy
+  - spmv_general_nnz_per_s fully random pattern (one-hot-MXU kernel) vs
+                           C++ gaxpy on the SAME random matrix
+  - spgemm_nnz_per_s       banded SpGEMM vs C++ Gustavson (rt_multiply)
+  - cholsol_wall_s         warm cholsol_7 (4000^2 SPD) vs C++ chol engine
 
 Timing notes:
-  - The axon TPU tunnel does NOT block in `block_until_ready`; every timed
-    region ends with a VALUE READBACK (float(jnp.sum(...))) as the barrier.
-  - The SpMV is timed as a dependent chain (power iteration inside one jitted
+  - The axon TPU tunnel does NOT block in `block_until_ready`; timed regions
+    end with VALUE READBACKS as barriers.
+  - SpMV throughput is a dependent chain (power iteration in one jitted
     fori_loop) so per-iteration cost is sustained, not pipelined dispatch.
-  - Device values are f32 (the reference's Numeric trait also covers f32,
-    src/data.rs:137-171; f64 is VPU-emulated on TPU).
+  - First-ever run pays remote compiles (minutes); the persistent cache in
+    .jax_cache makes reruns warm.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -48,41 +55,113 @@ def laplacian_5pt(g: int):
     return n, p, r, v
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def rand_csc(m, n, nnz, seed=0):
+    rng = np.random.default_rng(seed)
+    r = rng.integers(0, m, nnz)
+    c = rng.integers(0, n, nnz)
+    k = np.unique(c * np.int64(m) + r)
+    c2 = k // m
+    r2 = (k % m).astype(np.int64)
+    v = rng.standard_normal(len(k))
+    p = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(c2, minlength=n), out=p[1:])
+    return p, r2, v
 
-    from rsparse_tpu.data import Sprs
-    from rsparse_tpu.ops import spmv as spmv_mod
-    from rsparse_tpu.symbolic import native
 
-    # The package enables x64 for reference-parity f64 solves; the f32 DIA
-    # bench path doesn't need it, and Mosaic's index plumbing requires i32.
-    jax.config.update("jax_enable_x64", False)
+def bench_lusol(rs, native):
+    from rsparse_tpu.symbolic import sqr
 
+    A = rs.Sprs()
+    A.load("/root/reference/tests/assets/lusol_6.sprs")
+    n = A.n
+    b = np.random.default_rng(0).standard_normal(n)
+    # host oracle (reference algorithm in C++), warm
+    s0 = sqr(A, 1, False)
+
+    def host_once():
+        Lp, Li, Lx, Up, Ui, Ux, pinv = native.lu_numeric(
+            n, A.p, A.i[: A.nnz()], A.x[: A.nnz()], s0.q, 1e-6,
+            s0.lnz, s0.unz)
+        xx = np.zeros(n)
+        xx[pinv] = b
+        native.lsolve_host(n, Lp, Li, Lx, xx)
+        native.usolve_host(n, Up, Ui, Ux, xx)
+        out = np.zeros(n)
+        out[np.asarray(s0.q)] = xx
+        return out
+
+    xh = host_once()
+    t_host = min(_t(host_once) for _ in range(2))
+    # device multifrontal partial-pivoting path, warm (sym reuse)
+    s = sqr(A, 1, False)
+    rs.lusol(A, list(b), 1, 1e-6, sym=s)  # compile + plan warmup
+
+    def dev_once():
+        return rs.lusol(A, list(b), 1, 1e-6, sym=s)
+
+    x = dev_once()
+    t_dev = min(_t(dev_once) for _ in range(2))
+    resid = float(np.abs(np.asarray(rs.gaxpy(A, list(x), [0.0] * n)) - b).max())
+    assert resid < 1e-6, f"lusol_6 residual {resid}"
+    return t_dev, t_host
+
+
+def bench_cholsol(rs, native):
+    from rsparse_tpu import ops
+    from rsparse_tpu.symbolic import schol
+
+    A = rs.Sprs()
+    A.load("/root/reference/tests/assets/cholsol_7.sprs")
+    n = A.n
+    b = np.random.default_rng(1).standard_normal(n)
+    s0 = schol(A, 0)
+
+    def host_once():
+        c = ops.symperm(A, s0.pinv)
+        Lp, Li, Lx = native.chol_numeric(
+            n, c.p, c.i[: c.nnz()], c.x[: c.nnz()], s0.parent, s0.cp)
+        xx = np.zeros(n)
+        xx[np.asarray(s0.pinv, np.int64)] = b
+        native.lsolve_host(n, Lp, Li, Lx, xx)
+        native.ltsolve_host(n, Lp, Li, Lx, xx)
+        return xx
+
+    host_once()
+    t_host = min(_t(host_once) for _ in range(2))
+    s = schol(A, 0)
+    rs.cholsol(A, list(b), 0, sym=s)
+
+    def dev_once():
+        return rs.cholsol(A, list(b), 0, sym=s)
+
+    dev_once()
+    t_dev = min(_t(dev_once) for _ in range(2))
+    return t_dev, t_host
+
+
+def _t(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def bench_spmv_dia(jax, jnp, spmv_mod, native):
     g = 1024
     n, Ap, Ai, Ax = laplacian_5pt(g)
     nnz = len(Ax)
     rng = np.random.default_rng(0)
     x = rng.standard_normal(n)
     y = np.zeros(n)
+    best_cpu = min(
+        _t(lambda: native.gaxpy_host(n, n, Ap, Ai, Ax, x, y))
+        for _ in range(5))
+    from rsparse_tpu.data import Sprs
 
-    # --- CPU baseline: the reference's sequential gaxpy loop, C++ -O3 ------
-    # best-of-5 to damp host load noise in the denominator
-    best_cpu = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        r_cpu = native.gaxpy_host(n, n, Ap, Ai, Ax, x, y)
-        best_cpu = min(best_cpu, time.perf_counter() - t0)
-    cpu_nnz_s = nnz / best_cpu
-
-    # --- device DIA kernel --------------------------------------------------
     a = Sprs(nnz, n, n, Ap, Ai, Ax)
     plan = spmv_mod.dia_plan(a)
     f = spmv_mod.spmv_fn(plan)
     dia = jnp.asarray(plan.dia)
     dx = jnp.asarray(x, dia.dtype)
-
     iters = 50
 
     @jax.jit
@@ -93,23 +172,118 @@ def main():
 
         return jax.lax.fori_loop(0, iters, body, xx)
 
-    # correctness guard (readback doubles as device sync)
     r_dev = np.asarray(f(dia, dx), np.float64)
+    r_cpu = np.zeros(n)
+    native.gaxpy_host(n, n, Ap, Ai, Ax, x, r_cpu)
     err = float(np.max(np.abs(r_dev - r_cpu)))
-    assert err < 1e-3 * max(1.0, float(np.max(np.abs(r_cpu)))), f"SpMV mismatch {err}"
-
-    float(jnp.sum(chain(dia, dx)))  # compile + warm (full readback barrier)
+    assert err < 1e-3 * max(1.0, float(np.max(np.abs(r_cpu)))), err
+    float(jnp.sum(chain(dia, dx)))
     t0 = time.perf_counter()
-    checksum = float(jnp.sum(chain(dia, dx)))  # readback = real barrier
+    checksum = float(jnp.sum(chain(dia, dx)))
     dev_t = (time.perf_counter() - t0) / iters
-    dev_nnz_s = nnz / dev_t
     assert np.isfinite(checksum)
+    return nnz / dev_t, nnz / best_cpu
+
+
+def bench_spmv_general(jax, jnp, native):
+    from rsparse_tpu.data import Sprs
+    from rsparse_tpu.ops.spmv_general import mxu_spmv_plan, spmv_general_fn
+
+    n = 1 << 20
+    Ap, Ai, Ax = rand_csc(n, n, 5_200_000, seed=0)
+    nnz = len(Ax)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n)
+    y = np.zeros(n)
+    best_cpu = min(
+        _t(lambda: native.gaxpy_host(n, n, Ap, Ai, Ax, x, y))
+        for _ in range(3))
+    a = Sprs(nnz, n, n, Ap, Ai, Ax)
+    plan = mxu_spmv_plan(a)
+    f = spmv_general_fn(plan)
+    vd = jnp.asarray(plan.vals)
+    xd = jnp.asarray(x, np.float32)
+    iters = 20
+
+    @jax.jit
+    def chain(v, xx):
+        def body(_, cur):
+            rr = f(v, cur)
+            return rr / jnp.max(jnp.abs(rr))
+
+        return jax.lax.fori_loop(0, iters, body, xx)
+
+    r = np.asarray(f(vd, xd), np.float64)
+    want = np.zeros(n)
+    native.gaxpy_host(n, n, Ap, Ai, Ax, x, want)
+    err = np.abs(r - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-4, err
+    float(jnp.sum(chain(vd, xd)))
+    t0 = time.perf_counter()
+    float(jnp.sum(chain(vd, xd)))
+    dev_t = (time.perf_counter() - t0) / iters
+    return nnz / dev_t, nnz / best_cpu
+
+
+def bench_spgemm(rs, native):
+    from rsparse_tpu.data import Sprs
+    from rsparse_tpu.ops.spmv import spgemm_dia
+
+    g = 512
+    n, Ap, Ai, Ax = laplacian_5pt(g)
+    L = Sprs(len(Ax), n, n, Ap, Ai, Ax)
+    nz = L.nnz()
+
+    def cpp():
+        return native.multiply_host(n, n, L.p, L.i[:nz], L.x[:nz],
+                                    n, L.p, L.i[:nz], L.x[:nz])
+
+    Cp, Ci, Cx = cpp()
+    nnzC = len(Cx)
+    t_cpp = min(_t(cpp) for _ in range(3))
+    spgemm_dia(L, L)  # warm
+    t_dia = min(_t(lambda: spgemm_dia(L, L)) for _ in range(3))
+    rs.multiply(L, L)  # warm ESC (plan cached)
+    t_esc = min(_t(lambda: rs.multiply(L, L)) for _ in range(3))
+    t_dev = min(t_dia, t_esc)
+    return nnzC / t_dev, nnzC / t_cpp
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import rsparse_tpu as rs
+    from rsparse_tpu.ops import spmv as spmv_mod
+    from rsparse_tpu.symbolic import native
+
+    extra = {}
+    # solver end-to-end first (needs f64)
+    lu_dev, lu_host = bench_lusol(rs, native)
+    ch_dev, ch_host = bench_cholsol(rs, native)
+    extra["cholsol_wall_s"] = round(ch_dev, 4)
+    extra["cholsol_vs_cpp"] = round(ch_host / ch_dev, 3)
+    extra["lusol_host_wall_s"] = round(lu_host, 4)
+
+    sg_dev, sg_cpp = bench_spgemm(rs, native)
+    extra["spgemm_nnz_per_s"] = round(sg_dev, 1)
+    extra["spgemm_vs_cpp"] = round(sg_dev / sg_cpp, 3)
+
+    # f32 kernel paths (Mosaic index plumbing wants i32)
+    jax.config.update("jax_enable_x64", False)
+    dia_dev, dia_cpu = bench_spmv_dia(jax, jnp, spmv_mod, native)
+    extra["spmv_dia_nnz_per_s"] = round(dia_dev, 1)
+    extra["spmv_dia_vs_cpp"] = round(dia_dev / dia_cpu, 3)
+    gen_dev, gen_cpu = bench_spmv_general(jax, jnp, native)
+    extra["spmv_general_nnz_per_s"] = round(gen_dev, 1)
+    extra["spmv_general_vs_cpp"] = round(gen_dev / gen_cpu, 3)
 
     print(json.dumps({
-        "metric": "spmv_nnz_per_s",
-        "value": round(dev_nnz_s, 1),
-        "unit": "nnz/s",
-        "vs_baseline": round(dev_nnz_s / cpu_nnz_s, 3),
+        "metric": "lusol_wall_s",
+        "value": round(lu_dev, 4),
+        "unit": "s",
+        "vs_baseline": round(lu_host / lu_dev, 3),
+        "extra": extra,
     }))
 
 

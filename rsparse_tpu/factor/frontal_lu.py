@@ -1,27 +1,38 @@
-"""Multifrontal static-pivot LU: batched dense leaf fronts + reduced skeleton.
+"""Multifrontal LU with device partial pivoting inside fronts.
 
-Unsymmetric analog of factor/frontal.py, for the GESP-style device LU
-(lu_device.py). Structure theory: with diagonal (static) pivoting,
-struct(L) ⊆ struct(chol(A+Aᵀ)) and struct(U) ⊆ struct(chol(A+Aᵀ))ᵀ, so the
-elimination tree of the SYMMETRIZED pattern orders the work: for a subtree
-S (contiguous under a postordered column permutation),
+Unsymmetric analog of factor/frontal.py, for the device LU (lu_device.py).
+Structure theory (all in k-space after the symmetric GESP permutation): for
+a postorder-contiguous subtree S = [aa, r] of the elimination tree of
+pattern(A + Aᵀ):
 
-  - U(:,k) rows for k ∈ S lie inside S          (descendants)
-  - L(:,k) offdiag rows lie in S ∪ skeleton      (ancestors of the root)
-  - U(j,c) with j ∈ S, c ∉ S has c ∈ skeleton    (ancestors)
+  - an edge (i, j) of A+Aᵀ with j ∈ S, i ∉ S forces i to be an ancestor of
+    j, hence i > r and i in the ancestor-closed skeleton. Therefore
+        Br := rows of A(:, S) outside S    (⊆ skeleton, all > r)
+        Bc := cols of A(S, :) outside S    (⊆ skeleton, all > r)
+  - with row pivoting RESTRICTED to S, all front fill stays inside the
+    dense S x S triangle, the Br x S block, and the S x Bc block, so the
+    factor patterns are static even though the pivot order is data-driven:
 
-so each front factors independently:
+        P_f A(S,S) = L_SS U_SS        threshold-pivoted dense LU (device)
+        L_B  = A(Br, S) U_SS^{-1}     (dense triangular solve)
+        U_B  = L_SS^{-1} P_f A(S,Bc)
+        Schur= -L_B U_B               extend-added into the skeleton
 
-    [L_SS, U_SS] = unpivoted dense LU of A(S,S)
-    L_B = A(Br, S) · U_SS⁻¹        (front columns' skeleton rows)
-    U_B = L_SS⁻¹ · A(S, Bc)        (skeleton columns' S rows)
-    Schur = −L_B · U_B             extend-added into the skeleton system
+The compacted skeleton recurses (its fronts pivot too); the innermost level
+uses lu_device's level kernels + dense tail. The reference's tol rule
+(src/lib.rs:587-589) is enforced exactly *within the pivot pool*: the
+threshold pivot search reproduces "prefer the diagonal iff
+|diag| >= tol*colmax"; a boundary (Br) row that the reference would have
+pivoted to instead (max|L_B| > 1/tol) degrades to the host engine's exact
+global partial pivoting — detected per column via the same margin flag.
 
-and the compacted skeleton factors with the level machinery of
-lu_device.build_lu_plan. The reference's tol pivot rule
-(src/lib.rs:587-589) is evaluated per front column and per skeleton column
-as a stability margin; any violation falls back to the host engine's exact
-partial pivoting — identical semantics to lu_device.
+CSC output convention: row indices of L/U are ELIMINATION positions (the
+reference also renumbers L rows to pinv at the end, src/lib.rs:614-617).
+Front-triangle labels are static; boundary/skeleton labels are finalized by
+a host pass that composes the per-front pivot permutations returned from
+the device (see `_finalize_perm`). The returned `pinv` maps original rows
+to elimination positions, so `lusol`'s ipvec/lsolve/usolve chain works
+unchanged.
 """
 
 from __future__ import annotations
@@ -58,7 +69,7 @@ class LUFrontBucket:
     ass_pos: np.ndarray  # [F, Sp, Sp] A positions (k-space), -1 absent
     abr_pos: np.ndarray  # [F, Bpr, Sp] A(Br, S)
     abc_pos: np.ndarray  # [F, Sp, Bpc] A(S, Bc)
-    # scatter maps (flat)
+    # scatter maps (flat; all dense now — fronts fill their whole blocks)
     lss_pos: np.ndarray
     lss_f: np.ndarray
     lss_r: np.ndarray
@@ -77,7 +88,7 @@ class LUFrontBucket:
     ub_c: np.ndarray
     schur_src: np.ndarray  # flat into Schur [F, Bpr, Bpc]
     schur_dst: np.ndarray  # into skeleton values
-    srow: np.ndarray  # [F, Sp] global rows of S slots (n = pad)
+    srow: np.ndarray  # [F, Sp] global k-rows of S slots (n = pad)
     br_skel: np.ndarray  # [F, Bpr] compact skeleton index of Br rows (ns = pad)
     bc_skel: np.ndarray  # [F, Bpc] compact skeleton index of Bc cols (ns = pad)
 
@@ -88,12 +99,14 @@ class LUMFPlan:
     lnz: int
     unz: int
     Lp: np.ndarray
-    Li: np.ndarray
+    Li: np.ndarray  # labels: elim positions (static) or pre-pivot skel rows
     Up: np.ndarray
     Ui: np.ndarray
+    li_skel: np.ndarray  # bool [lnz]: Li entry is a pre-pivot label (remap)
+    ui_skel: np.ndarray  # bool [unz]
     buckets: List[LUFrontBucket]
     skel: np.ndarray
-    skel_plan: object  # lu_device.LUPlan for the compact skeleton
+    skel_plan: object  # LUMFPlan (recursion) or lu_device.LUPlan
     skel_cnnz: int
     skel_a_src: np.ndarray
     skel_a_dst: np.ndarray
@@ -102,8 +115,7 @@ class LUMFPlan:
     skel_u_src: np.ndarray
     skel_u_dst: np.ndarray
     # symmetric-permutation mode (order >= 0): the factorization runs on
-    # A2 = A(P, P) with s.q := P and pinv := P^{-1} returned to the driver;
-    # vperm maps a.x -> A2.x (static value permutation)
+    # A2 = A(P, P) with s.q := P; vperm maps a.x -> A2.x
     row_pinv: Optional[np.ndarray] = None
     vperm: Optional[np.ndarray] = None
 
@@ -122,7 +134,9 @@ def _sym_pattern_etree(a: Sprs, q: Optional[np.ndarray]):
         cols = qinv[cols]
     r2 = np.minimum(rows, cols)
     c2 = np.maximum(rows, cols)
-    keys = np.unique(c2 * np.int64(n) + r2)
+    keys = np.unique(np.concatenate(
+        [c2 * np.int64(n) + r2,
+         np.arange(n, dtype=np.int64) * (n + 1)]))  # ensure diagonal
     ti = keys % n
     tc = keys // n
     tp = np.zeros(n + 1, dtype=np.int64)
@@ -132,17 +146,31 @@ def _sym_pattern_etree(a: Sprs, q: Optional[np.ndarray]):
     return parent, post
 
 
-RECURSE_MIN = 3000
 MAX_DEPTH = 4
+# Skeletons up to this size factor DENSELY with full partial pivoting on
+# device (the skeleton rows are exactly the not-yet-eliminated pool, so the
+# pivot search there is unrestricted — reference-equivalent). Larger
+# skeletons recurse into another front layer first.
+DENSE_SKEL_MAX = 2048
+
+
+@dataclasses.dataclass
+class DenseSkelPlan:
+    """Dense pivoted-LU plan for the compacted skeleton system."""
+
+    ns: int
+    srows: np.ndarray  # compact CSC -> dense scatter rows
+    scols: np.ndarray
+    lnz: int  # = ns*ns + 1 (flattened dense factor + constant-1 slot)
+    unz: int
 
 
 def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
                      depth: int = 0) -> Optional["LUMFPlan"]:
-    """Build the multifrontal LU plan. May COMPOSE s.q with the symmetrized
-    etree postorder (admissible — lusol applies s.q consistently afterward).
-    Large skeletons recurse into another front layer. Returns None when not
-    applicable."""
-    from ..errors import NoPivotError
+    """Build the pivoting multifrontal LU plan. May COMPOSE s.q with the
+    symmetrized etree postorder (admissible — lusol applies s.q consistently
+    afterward; committed only on success). Large skeletons recurse into
+    another front layer. Returns None when not applicable."""
     from ..ops.plan import col_ids
     from .lu_device import build_lu_plan, LUPlan
 
@@ -150,52 +178,56 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
     row_pinv = None
     vperm = None
     if s.q is not None:
-        # GESP symmetric permutation: P = postordered AMD(A + A') applied to
-        # BOTH rows and columns — preserves the diagonal (static pivots stay
-        # structurally viable, unlike a column-only AMD(A'A)) and gives a
-        # bushy elimination tree for the fronts. Admissible because lusol's
-        # driver applies pinv (rows) and s.q (columns) consistently; the tol
-        # margin still guards numerical deviation from the reference.
-        P = native.amd(0, n, n, a.p, a.i[: a.nnz()])
+        from ..ops.plan import permute_plan
+        from ..symbolic import _permute_host
+
+        # 1) Static-pivoting row matching (MC64-flavoured, SuperLU_DIST's
+        #    GESP prep): put large entries on the diagonal so the in-front
+        #    threshold pivoting + tol margin rarely needs the host engine.
+        #    The reference pivots dynamically instead (src/lib.rs:565-589);
+        #    the margin check keeps its tol semantics authoritative.
+        pm = native.match(n, a.p, a.i[: a.nnz()], a.x[: a.nnz()])
+        if pm is not None and np.array_equal(pm, np.arange(n)):
+            pm = None  # identity matching: skip the extra permute
+        if pm is not None:
+            a_m = _permute_host(a, pm, None)
+            vperm_m = permute_plan(a, pm, None).perm
+        else:
+            a_m = a
+            vperm_m = None
+        # 2) GESP symmetric permutation: P = postordered AMD(A + A')
+        #    applied to BOTH rows and columns — preserves the (matched)
+        #    diagonal and gives a bushy elimination tree for the fronts.
+        #    Admissible because lusol's driver applies pinv (rows) and s.q
+        #    (columns) consistently.
+        P = native.amd(0, n, n, a_m.p, a_m.i[: a_m.nnz()])
         if P is None:
             P = np.arange(n, dtype=np.int64)
         for _ in range(3):
             pinvP = np.empty(n, dtype=np.int64)
             pinvP[P] = np.arange(n)
-            from ..symbolic import _permute_host
-
-            a2 = _permute_host(a, pinvP, P)
+            a2 = _permute_host(a_m, pinvP, P)
             parent, post = _sym_pattern_etree(a2, None)
             if np.array_equal(post, np.arange(n)):
                 break
             P = P[post]
         else:
             return None
-        # committed to s.q only when plan construction succeeds (bail-outs
-        # below must leave the caller's Symb untouched for the host path)
+        # committed to s.q only when plan construction succeeds
         new_q = P
-        row_pinv = pinvP
-        from ..ops.plan import permute_plan
-
-        vperm = permute_plan(a, pinvP, P).perm
+        row_pinv = pinvP[pm] if pm is not None else pinvP
+        vperm2 = permute_plan(a_m, pinvP, P).perm
+        vperm = vperm_m[vperm2] if vperm_m is not None else vperm2
         a_work = a2
-        q = None
     else:
         parent, post = _sym_pattern_etree(a, None)
         if not np.array_equal(post, np.arange(n)):
             return None  # natural order must stay untouched (parity)
         new_q = None
         a_work = a
-        q = None
     a = a_work
 
-    cap = 4 * a.nnz() + n
-    try:
-        Lp, Li, Up, Ui, level = native.lu_pattern(n, a.p, a.i[: a.nnz()], q, cap, cap)
-    except NoPivotError:
-        return None
-    lnz, unz = int(Lp[n]), int(Up[n])
-
+    # ---- subtree fronts over the symmetrized etree -----------------------
     sz = np.ones(n, dtype=np.int64)
     for k in range(n):
         p_ = parent[k]
@@ -212,70 +244,44 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
         return None
     g = np.full(n, -1, dtype=np.int64)
     g[skel] = np.arange(ns)
+    fr_of = np.full(n, -1, dtype=np.int64)
+    for fi, r in enumerate(roots):
+        fr_of[int(r - sz[r] + 1) : int(r) + 1] = fi
 
-    # containment safety: U rows of front columns must stay inside the front,
-    # and L rows of front columns must lie in S or below (the same
-    # struct ⊆ chol(A+A') argument; a row above S would scatter negatively)
-    ucols = col_ids(Up, n)
-    lcols = col_ids(Lp, n)
-    for r in roots:
-        aa = r - sz[r] + 1
-        urows = Ui[Up[aa] : Up[int(r) + 1]]
-        uc = ucols[Up[aa] : Up[int(r) + 1]]
-        if ((urows < aa) & (uc >= aa)).any():
-            return None  # theory violated (shouldn't happen) — bail safely
-        if (Li[Lp[aa] : Lp[int(r) + 1]] < aa).any():
-            return None  # L containment violated — bail safely
-
-    # A keys in k-space
+    # ---- structural boundaries (see module docstring for the theory) -----
     anz = a.nnz()
-    acols = col_ids(a.p, n)
-    if q is not None:
-        qinv = np.empty(n, dtype=np.int64)
-        qinv[q] = np.arange(n)
-        k_of = qinv[acols]
-    else:
-        k_of = acols
     arows = a.i[:anz].astype(np.int64)
-    akeys = k_of * np.int64(n) + arows
+    acols = col_ids(a.p, n)
+    sk_mask = ~in_front
+    # Br: rows outside S of columns in S; Bc: cols outside S of rows in S
+    m_br = (fr_of[acols] >= 0) & sk_mask[arows]
+    m_bc = (fr_of[arows] >= 0) & sk_mask[acols]
+    fronts = []
+    for fi, r in enumerate(roots):
+        aa = int(r - sz[r] + 1)
+        S = np.arange(aa, int(r) + 1)
+        Br = np.unique(arows[m_br & (fr_of[acols] == fi)])
+        Bc = np.unique(acols[m_bc & (fr_of[arows] == fi)])
+        if (len(Br) and Br.min() <= r) or (len(Bc) and Bc.min() <= r):
+            return None  # subtree theory violated (shouldn't happen)
+        fronts.append((S, Br, Bc))
+
+    # A keys in k-space (a is already permuted; columns are k columns)
+    akeys = acols * np.int64(n) + arows
     aorder = np.argsort(akeys, kind="stable")
     akeys_s = akeys[aorder]
 
-    sk_mask = ~in_front
-
-    # ---- per-front boundaries -------------------------------------------
-    fronts = []
-    for r in roots:
-        aa = int(r - sz[r] + 1)
-        S = np.arange(aa, int(r) + 1)
-        lr = Li[Lp[aa] : Lp[int(r) + 1]]
-        Br = np.unique(lr[lr > r])  # skeleton rows touched by front L cols
-        fronts.append([S, Br, None])
-    # column boundaries: U entries with row in a front, col outside it
-    fr_of = np.full(n, -1, dtype=np.int64)
-    for fi, r in enumerate(roots):
-        aa = int(r - sz[r] + 1)
-        fr_of[aa : int(r) + 1] = fi
-    u_rows_all = Ui
-    u_cols_all = ucols
-    m_cross = (fr_of[np.clip(u_rows_all, 0, n - 1)] >= 0) & sk_mask[u_cols_all]
-    cross_f = fr_of[u_rows_all[m_cross]]
-    cross_c = u_cols_all[m_cross]
-    for fi in range(len(roots)):
-        fronts[fi][2] = np.unique(cross_c[cross_f == fi])
-
-    # ---- skeleton pattern: A(skel, skel) + Br x Bc cliques ---------------
-    keep = sk_mask[arows] & sk_mask[k_of]
-    pairs = set(zip(g[arows[keep]].tolist(), g[k_of[keep]].tolist()))
-    # diagonal must exist for the static-pivot skeleton factorization
+    # ---- skeleton pattern: A(skel, skel) + diag + Br x Bc cliques --------
+    keep = sk_mask[arows] & sk_mask[acols]
+    pairs = set(zip(g[arows[keep]].tolist(), g[acols[keep]].tolist()))
     for d in range(ns):
         pairs.add((d, d))
     for S, Br, Bc in fronts:
         gr = g[Br]
         gc = g[Bc]
-        for x in gr:
-            for y in gc:
-                pairs.add((int(x), int(y)))
+        for x_ in gr:
+            for y_ in gc:
+                pairs.add((int(x_), int(y_)))
     pr = np.array(sorted(pairs, key=lambda t: (t[1], t[0])), dtype=np.int64) \
         if pairs else np.zeros((0, 2), dtype=np.int64)
     srows = pr[:, 0] if len(pr) else np.zeros(0, np.int64)
@@ -289,7 +295,134 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
     ka = np.nonzero(keep)[0]
     skel_a_src = ka.astype(np.int64)
     skel_a_dst = _lookup(skeys, sk_order,
-                         g[k_of[keep]] * np.int64(ns) + g[arows[keep]])
+                         g[acols[keep]] * np.int64(ns) + g[arows[keep]])
+
+    # ---- skeleton plan ---------------------------------------------------
+    # Preference order: recurse (fronts pivot) while the skeleton is large;
+    # then factor the compact remainder DENSELY with full partial pivoting
+    # (skeleton rows = the whole remaining pool, so the pivot search there
+    # is unrestricted); only fall back to the static-pivot level machinery
+    # when the skeleton is still too big after MAX_DEPTH recursions.
+    c_skel = Sprs(s_cnnz, ns, ns, sCp, srows, np.zeros(s_cnnz))
+    s_sub = Symb()
+    s_sub.q = None
+    skel_plan = None
+    if ns > DENSE_SKEL_MAX and depth < MAX_DEPTH:
+        try:
+            skel_plan = build_lu_mf_plan(c_skel, s_sub, smax, depth + 1)
+        except Exception:
+            skel_plan = None
+    if skel_plan is None:
+        if ns <= DENSE_SKEL_MAX:
+            skel_plan = DenseSkelPlan(ns=ns, srows=srows.copy(),
+                                      scols=scols.copy(),
+                                      lnz=ns * ns + 1, unz=ns * ns + 1)
+        else:
+            skel_plan = build_lu_plan(c_skel, s_sub)
+    if skel_plan is None or not isinstance(
+            skel_plan, (LUPlan, LUMFPlan, DenseSkelPlan)):
+        return None
+    if isinstance(skel_plan, LUMFPlan):
+        in_li_skel = skel_plan.li_skel
+        in_ui_skel = skel_plan.ui_skel
+    elif isinstance(skel_plan, LUPlan):
+        in_li_skel = np.zeros(skel_plan.lnz, dtype=bool)
+        in_ui_skel = np.zeros(skel_plan.unz, dtype=bool)
+
+    # ---- synthesized global pattern (dense front blocks) -----------------
+    # L col j=aa+c: elim triangle [j..r] then Br (pre-pivot labels).
+    # U col j: elim rows [aa..j] (diag last).
+    # Skel col skel[q]: U first gets the full S range of every front with
+    # skel[q] in Bc (elim labels), then the inner pattern mapped via skel[].
+    Lcols: List[np.ndarray] = [None] * n
+    Lmask: List[np.ndarray] = [None] * n
+    Ucols: List[np.ndarray] = [None] * n
+    Umask: List[np.ndarray] = [None] * n
+    for S, Br, Bc in fronts:
+        aa, r = int(S[0]), int(S[-1])
+        for c in range(len(S)):
+            j = aa + c
+            tri = np.arange(j, r + 1)
+            Lcols[j] = np.concatenate([tri, Br])
+            Lmask[j] = np.concatenate(
+                [np.zeros(len(tri), bool), np.ones(len(Br), bool)])
+            Ucols[j] = np.arange(aa, j + 1)
+            Umask[j] = np.zeros(c + 1, bool)
+    # fronts contributing S-rows to each skeleton column's U
+    bc_contrib: List[List[np.ndarray]] = [[] for _ in range(ns)]
+    for S, Br, Bc in fronts:
+        rng = np.arange(int(S[0]), int(S[-1]) + 1)
+        for cq in g[Bc]:
+            bc_contrib[int(cq)].append(rng)
+    # Skeleton columns carry the inner plan's pattern mapped through skel[].
+    # Mask semantics: inner ELIM labels are already final (inner step e
+    # happens at global position skel[e] — a static map), so they must NOT
+    # be remapped by the composed einv pass; inner PRE-PIVOT labels must.
+    # The inner masks are therefore inherited verbatim. For the dense
+    # skeleton and the innermost LUPlan every label is an elim label.
+    if isinstance(skel_plan, DenseSkelPlan):
+        for q in range(ns):
+            c = int(skel[q])
+            Lcols[c] = skel[q:]
+            Lmask[c] = np.zeros(ns - q, bool)
+            pre = (np.concatenate(bc_contrib[q]) if bc_contrib[q]
+                   else np.zeros(0, np.int64))
+            Ucols[c] = np.concatenate([pre, skel[: q + 1]])
+            Umask[c] = np.zeros(len(pre) + q + 1, bool)
+    else:
+        sLp, sLi = skel_plan.Lp, skel_plan.Li
+        sUp, sUi = skel_plan.Up, skel_plan.Ui
+        for q in range(ns):
+            c = int(skel[q])
+            Lcols[c] = skel[sLi[sLp[q] : sLp[q + 1]]]
+            Lmask[c] = in_li_skel[sLp[q] : sLp[q + 1]].copy()
+            uin = sUi[sUp[q] : sUp[q + 1]]
+            pre = (np.concatenate(bc_contrib[q]) if bc_contrib[q]
+                   else np.zeros(0, np.int64))
+            Ucols[c] = np.concatenate([pre, skel[uin]])
+            Umask[c] = np.concatenate(
+                [np.zeros(len(pre), bool),
+                 in_ui_skel[sUp[q] : sUp[q + 1]].copy()])
+
+    Lp = np.zeros(n + 1, dtype=np.int64)
+    Up = np.zeros(n + 1, dtype=np.int64)
+    for j in range(n):
+        Lp[j + 1] = Lp[j] + len(Lcols[j])
+        Up[j + 1] = Up[j] + len(Ucols[j])
+    Li = np.concatenate(Lcols) if n else np.zeros(0, np.int64)
+    Ui = np.concatenate(Ucols) if n else np.zeros(0, np.int64)
+    li_skel = np.concatenate(Lmask) if n else np.zeros(0, bool)
+    ui_skel = np.concatenate(Umask) if n else np.zeros(0, bool)
+    lnz, unz = int(Lp[n]), int(Up[n])
+
+    # position maps inner L/U -> global (for the value copy-back)
+    sl_src_p, sl_dst_p, su_src_p, su_dst_p = [], [], [], []
+    if isinstance(skel_plan, DenseSkelPlan):
+        # inner values live in the flattened dense factor [ns*ns]; slot
+        # ns*ns holds the constant 1.0 for L's unit diagonal
+        for q in range(ns):
+            c = int(skel[q])
+            sl_src_p.append(np.concatenate(
+                [[ns * ns], np.arange(q + 1, ns, dtype=np.int64) * ns + q]))
+            sl_dst_p.append(np.arange(Lp[c], Lp[c + 1], dtype=np.int64))
+            su_src_p.append(np.arange(0, q + 1, dtype=np.int64) * ns + q)
+            su_dst_p.append(np.arange(Up[c + 1] - (q + 1), Up[c + 1],
+                                      dtype=np.int64))
+    else:
+        for q in range(ns):
+            c = int(skel[q])
+            sl_src_p.append(np.arange(sLp[q], sLp[q + 1], dtype=np.int64))
+            sl_dst_p.append(np.arange(Lp[c], Lp[c] + (sLp[q + 1] - sLp[q]),
+                                      dtype=np.int64))
+            nU = int(sUp[q + 1] - sUp[q])
+            su_src_p.append(np.arange(sUp[q], sUp[q + 1], dtype=np.int64))
+            su_dst_p.append(np.arange(Up[c + 1] - nU, Up[c + 1],
+                                      dtype=np.int64))
+    cat = lambda ps: (np.concatenate(ps) if ps else np.zeros(0, np.int64))
+    sl_src = cat(sl_src_p)
+    sl_dst = cat(sl_dst_p)
+    su_src = cat(su_src_p)
+    su_dst = cat(su_dst_p)
 
     # ---- buckets ---------------------------------------------------------
     bmap = {}
@@ -314,48 +447,56 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
         bc_skel = np.full((F, bpc), ns, dtype=np.int64)
         for t, fi in enumerate(fis):
             S, Br, Bc = fronts[fi]
-            srow[t, : len(S)] = S
-            br_skel[t, : len(Br)] = g[Br]
-            bc_skel[t, : len(Bc)] = g[Bc]
-            aa = int(S[0])
+            aa, r = int(S[0]), int(S[-1])
             ls, lbr, lbc = len(S), len(Br), len(Bc)
+            srow[t, :ls] = S
+            br_skel[t, :lbr] = g[Br]
+            bc_skel[t, :lbc] = g[Bc]
             ass_pos[t, :ls, :ls] = _lookup(
-                akeys_s, aorder,
-                S[None, :] * np.int64(n) + S[:, None])  # [row, col]
+                akeys_s, aorder, S[None, :] * np.int64(n) + S[:, None])
             if lbr:
                 abr_pos[t, :lbr, :ls] = _lookup(
                     akeys_s, aorder, S[None, :] * np.int64(n) + Br[:, None])
             if lbc:
                 abc_pos[t, :ls, :lbc] = _lookup(
                     akeys_s, aorder, Bc[None, :] * np.int64(n) + S[:, None])
-            for j in S:
-                for p_ in range(int(Lp[j]), int(Lp[j + 1])):
-                    i_ = int(Li[p_])
-                    if i_ <= int(S[-1]):
-                        lss[0].append(p_); lss[1].append(t)
-                        lss[2].append(i_ - aa); lss[3].append(int(j) - aa)
-                    else:
-                        lb[0].append(p_); lb[1].append(t)
-                        lb[2].append(int(np.searchsorted(Br, i_)))
-                        lb[3].append(int(j) - aa)
-                for p_ in range(int(Up[j]), int(Up[j + 1])):
-                    i_ = int(Ui[p_])
-                    uss[0].append(p_); uss[1].append(t)
-                    uss[2].append(i_ - aa); uss[3].append(int(j) - aa)
-            # U_B scatter: skeleton columns c with U rows in S
-            for c in Bc:
-                cloc = int(np.searchsorted(Bc, c))
-                for p_ in range(int(Up[c]), int(Up[c + 1])):
-                    i_ = int(Ui[p_])
-                    if aa <= i_ <= int(S[-1]):
-                        ub[0].append(p_); ub[1].append(t)
-                        ub[2].append(i_ - aa); ub[3].append(cloc)
+            for c in range(ls):
+                j = aa + c
+                # L triangle: rows j..r at positions Lp[j]..; dense
+                cnt = r + 1 - j
+                lss[0].extend(range(int(Lp[j]), int(Lp[j]) + cnt))
+                lss[1].extend([t] * cnt)
+                lss[2].extend(range(c, ls))
+                lss[3].extend([c] * cnt)
+                # L boundary rows
+                lb[0].extend(range(int(Lp[j]) + cnt, int(Lp[j + 1])))
+                lb[1].extend([t] * lbr)
+                lb[2].extend(range(lbr))
+                lb[3].extend([c] * lbr)
+                # U triangle: rows aa..j
+                uss[0].extend(range(int(Up[j]), int(Up[j + 1])))
+                uss[1].extend([t] * (c + 1))
+                uss[2].extend(range(c + 1))
+                uss[3].extend([c] * (c + 1))
+            # U_B: skeleton columns' S rows (front-sorted prefix of Ucols)
+            for cloc, cglob in enumerate(Bc):
+                base = int(Up[cglob])
+                # find this front's range within the column's prefix
+                off = 0
+                for rng in bc_contrib[int(g[cglob])]:
+                    if int(rng[0]) == aa:
+                        break
+                    off += len(rng)
+                ub[0].extend(range(base + off, base + off + ls))
+                ub[1].extend([t] * ls)
+                ub[2].extend(range(ls))
+                ub[3].extend([cloc] * ls)
             if lbr and lbc:
-                gr = g[Br]; gc = g[Bc]
+                gr = g[Br]
+                gc = g[Bc]
                 xs = np.repeat(np.arange(lbr), lbc)
                 ys = np.tile(np.arange(lbc), lbr)
-                dsts = _lookup(skeys, sk_order,
-                               gc[ys] * np.int64(ns) + gr[xs])
+                dsts = _lookup(skeys, sk_order, gc[ys] * np.int64(ns) + gr[xs])
                 ok = dsts >= 0
                 s_src.extend(((t * bpr + xs[ok]) * bpc + ys[ok]).tolist())
                 s_dst.extend(dsts[ok].tolist())
@@ -371,57 +512,11 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
             srow=srow, br_skel=br_skel, bc_skel=bc_skel,
         ))
 
-    # ---- skeleton plan ---------------------------------------------------
-    c_skel = Sprs(s_cnnz, ns, ns, sCp, srows, np.zeros(s_cnnz))
-    s_sub = Symb()
-    s_sub.q = None
-    skel_plan = None
-    if ns > RECURSE_MIN and depth < MAX_DEPTH:
-        try:
-            skel_plan = build_lu_mf_plan(c_skel, s_sub, smax, depth + 1)
-        except Exception:
-            skel_plan = None
-    if skel_plan is None:
-        skel_plan = build_lu_plan(c_skel, s_sub)
-    if skel_plan is None or not isinstance(skel_plan, (LUPlan, LUMFPlan)):
-        return None
-    # position maps skeleton L/U -> global. The skeleton pattern may be a
-    # strict SUPERSET of the global restricted pattern: the per-front clique
-    # (∪Br)x(∪Bc) over-approximates the union of per-column cliques for
-    # unsymmetric patterns — but the extra skeleton positions receive exact
-    # numeric zeros (each Schur term needs r∈Br_j AND c∈Bc_j for the SAME
-    # j), so mapping every GLOBAL entry into the skeleton factor by lookup
-    # is exact; unmapped skeleton entries simply aren't copied back.
-    skel_lcols = np.repeat(np.arange(ns, dtype=np.int64),
-                           np.diff(skel_plan.Lp))
-    skl_keys = skel_lcols * np.int64(ns) + skel_plan.Li
-    skl_order = np.argsort(skl_keys, kind="stable")
-    skl_sorted = skl_keys[skl_order]
-    skel_ucols = np.repeat(np.arange(ns, dtype=np.int64),
-                           np.diff(skel_plan.Up))
-    sku_keys = skel_ucols * np.int64(ns) + skel_plan.Ui
-    sku_order = np.argsort(sku_keys, kind="stable")
-    sku_sorted = sku_keys[sku_order]
-    glob_lcols = col_ids(Lp, n)
-    sel_l = sk_mask[glob_lcols]  # skeleton columns' L entries (rows all skel)
-    sl_dst = np.nonzero(sel_l)[0]
-    sl_src = _lookup(skl_sorted, skl_order,
-                     g[glob_lcols[sel_l]] * np.int64(ns) + g[Li[sel_l]])
-    if (sl_src < 0).any():
-        return None  # true containment violation — bail safely
-    glob_ucols = ucols
-    # global U skeleton-column entries at skeleton rows (front S-rows were
-    # written by the front kernels' ub scatter)
-    sel_u = sk_mask[glob_ucols] & sk_mask[Ui]
-    su_dst = np.nonzero(sel_u)[0]
-    su_src = _lookup(sku_sorted, sku_order,
-                     g[glob_ucols[sel_u]] * np.int64(ns) + g[Ui[sel_u]])
-    if (su_src < 0).any():
-        return None
     if row_pinv is not None:
         s.q = new_q  # commit the composed ordering only on success
     return LUMFPlan(
-        n=n, lnz=lnz, unz=unz, Lp=Lp, Li=Li, Up=Up, Ui=Ui, buckets=buckets,
+        n=n, lnz=lnz, unz=unz, Lp=Lp, Li=Li, Up=Up, Ui=Ui,
+        li_skel=li_skel, ui_skel=ui_skel, buckets=buckets,
         skel=skel, skel_plan=skel_plan, skel_cnnz=s_cnnz,
         skel_a_src=skel_a_src, skel_a_dst=skel_a_dst,
         skel_l_src=np.asarray(sl_src, np.int64),
@@ -432,37 +527,63 @@ def build_lu_mf_plan(a: Sprs, s: Symb, smax: int = 64,
     )
 
 
-def _unpivoted_lu(M, valid):
-    """Batched dense LU without pivoting. M: [F, Sp, Sp]; `valid` marks real
-    pivot slots (padded slots get 1.0 pivots). Returns (LU packed, margin)
-    where margin applies the reference tol rule against column maxima."""
+def _pivoted_lu(M, valid, tol):
+    """Batched dense LU with threshold partial pivoting restricted to the
+    block rows. M: [F, Sp, Sp]; `valid` marks real pivot slots (padded
+    slots get identity pivots and are never swapped).
+
+    Pivot rule per column c (the reference's shape, src/lib.rs:565-589):
+    colmax = max |M[r, c]| over r >= c; keep the diagonal iff
+    |M[c,c]| >= tol*colmax, else swap in the argmax row. Callers pass the
+    DEVICE threshold (>= the user tol — pivoting more eagerly than the
+    reference is always admissible and strictly more stable; the user tol
+    governs only the boundary-row fallback margin). Returns (packed LU in
+    elimination row order, perm [F, Sp] with perm[c] = pre-pivot slot
+    eliminated at step c, worst ratio |piv|/colmax over real columns)."""
     ft = M.dtype
-    spn = M.shape[-1]
-    # padded slots: identity pivots
+    F, spn, _ = M.shape
     M = M + jax.vmap(jnp.diag)(jnp.where(valid, 0.0, 1.0).astype(ft))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (spn,), 0)
+    perm0 = jnp.tile(rows[None, :], (F, 1))
+    real_col = valid  # [F, Sp]
 
     def body(c, carry):
-        M, worst = carry
-        col = M[:, :, c]
+        M, perm, worst = carry
+        col = M[:, :, c]  # [F, Sp]
+        below_eq = rows >= c
+        absb = jnp.where(below_eq[None, :], jnp.abs(col), -1.0)
+        colmax = jnp.max(absb, axis=1)
+        diag = jnp.abs(M[:, c, c])
+        use_diag = diag >= tol * colmax
+        amax = jnp.argmax(absb, axis=1).astype(jnp.int32)
+        pivrow = jnp.where(use_diag, c, amax)
+        # swap rows c <-> pivrow (full working rows: L part + trailing)
+        base = jnp.tile(rows[None, :], (F, 1))
+        swapidx = jnp.where(base == c, pivrow[:, None],
+                            jnp.where(base == pivrow[:, None], c, base))
+        M = jnp.take_along_axis(M, swapidx[:, :, None], axis=1)
+        perm = jnp.take_along_axis(perm, swapidx, axis=1)
         piv = M[:, c, c]
-        rowmask = jax.lax.broadcasted_iota(jnp.int32, (spn,), 0) > c
-        colmax = jnp.max(jnp.where(rowmask[None, :], jnp.abs(col), 0.0), axis=1)
-        colmax = jnp.maximum(colmax, jnp.abs(piv))
-        worst = jnp.minimum(worst, jnp.abs(piv) / jnp.maximum(colmax, 1e-300))
+        rc = jnp.take_along_axis(real_col, jnp.full((F, 1), c, jnp.int32),
+                                 axis=1)[:, 0]
+        ratio = jnp.abs(piv) / jnp.maximum(colmax, 1e-300)
+        worst = jnp.minimum(worst, jnp.where(rc, ratio, jnp.inf))
+        below = rows > c
+        colc = M[:, :, c]
         safe = jnp.where(piv == 0, jnp.ones((), ft), piv)
-        l = jnp.where(rowmask[None, :], col / safe[:, None], 0.0)
-        u = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (spn,), 0) > c,
-                      M[:, c, :], 0.0)
+        l = jnp.where(below[None, :], colc / safe[:, None], 0.0)
+        u = jnp.where(rows[None, :] > c, M[:, c, :], 0.0)
         M = M - l[:, :, None] * u[:, None, :]
-        M = M.at[:, :, c].set(jnp.where(rowmask[None, :], l, col))
-        return M, worst
+        M = M.at[:, :, c].set(jnp.where(below[None, :], l, colc))
+        return M, perm, worst
 
-    M, worst = jax.lax.fori_loop(0, spn, body, (M, jnp.full(M.shape[0], jnp.inf, ft)))
-    return M, worst
+    M, perm, worst = jax.lax.fori_loop(
+        0, spn, body, (M, perm0, jnp.full(F, jnp.inf, ft)))
+    return M, perm, worst
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
-def _lu_front_kernel(Lx, Ux, Csx, Ax, tol, ass_pos, abr_pos, abc_pos,
+def _lu_front_kernel(Lx, Ux, Csx, Ax, tol, valid, ass_pos, abr_pos, abc_pos,
                      lss_pos, lss_f, lss_r, lss_c,
                      uss_pos, uss_f, uss_r, uss_c,
                      lb_pos, lb_f, lb_r, lb_c,
@@ -475,17 +596,19 @@ def _lu_front_kernel(Lx, Ux, Csx, Ax, tol, ass_pos, abr_pos, abc_pos,
                          jnp.zeros((), ft))
 
     Ass = g(ass_pos)
-    has_diag = jnp.diagonal(ass_pos, axis1=1, axis2=2) >= 0
-    LUp, worst = _unpivoted_lu(Ass, has_diag)
+    # device pivot threshold: at least 0.1 (standard sparse threshold
+    # pivoting) — bounds in-front element growth regardless of the user tol
+    LUp, perm, worst = _pivoted_lu(Ass, valid, jnp.maximum(tol, 0.1))
     spn = LUp.shape[-1]
     eye = jnp.eye(spn, dtype=ft)
     Lss = jnp.tril(LUp, -1) + eye[None]
     Uss = jnp.triu(LUp)
     Abr = g(abr_pos)
-    # L_B = A(Br,S) Uss^{-1}  -> solve X Uss = Abr
+    # L_B = A(Br,S) Uss^{-1}  -> solve X Uss = Abr (column ops: perm-free)
     LB = jax.lax.linalg.triangular_solve(Uss, Abr, left_side=False, lower=False)
-    # U_B = Lss^{-1} A(S,Bc)  (unit lower)
+    # U_B = Lss^{-1} P_f A(S,Bc)
     Abc = g(abc_pos)
+    Abc = jnp.take_along_axis(Abc, perm[:, :, None], axis=1)
     UB = jax.lax.linalg.triangular_solve(Lss, Abc, left_side=True, lower=True,
                                          unit_diagonal=True)
     Schur = jnp.einsum("frs,fsc->frc", LB, UB)
@@ -500,13 +623,13 @@ def _lu_front_kernel(Lx, Ux, Csx, Ax, tol, ass_pos, abr_pos, abc_pos,
     Csx = Csx.at[schur_dst].add(-Schur.reshape(-1)[schur_src], mode="drop")
     margin = jnp.min(worst) - tol  # worst |piv|/colmax vs tol
     bad = jnp.any(worst == 0.0)
-    return Lx, Ux, Csx, margin, bad, Lss, Uss, LB, UB
+    return Lx, Ux, Csx, margin, bad, Lss, Uss, LB, UB, perm
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def _lu_fwd_front(X, Ds, Lss, LB, srow, br_skel):
-    """L forward, front phase: y_S = Lss^{-1} b_S (unit lower); accumulate
-    LB y_S into the skeleton delta."""
+    """L forward, front phase. X is in full elimination order, so the S
+    window [aa..r] is already pivot-permuted — feed Lss directly."""
     xs = X[srow]
     ys = jax.lax.linalg.triangular_solve(Lss, xs, left_side=True, lower=True,
                                          unit_diagonal=True)
@@ -555,7 +678,7 @@ def _prep_lu_solve_indices(plan: LUMFPlan):
                                    jnp.asarray(bc_glob))
     if isinstance(plan.skel_plan, LUMFPlan):
         _prep_lu_solve_indices(plan.skel_plan)
-    else:
+    elif not isinstance(plan.skel_plan, DenseSkelPlan):
         p0, p1 = _lu_skel_tri_plans(plan)
         _plan_dev(p0)
         _plan_dev(p1)
@@ -564,56 +687,79 @@ def _prep_lu_solve_indices(plan: LUMFPlan):
 def solve_lu_mf(plan: LUMFPlan, X: np.ndarray) -> np.ndarray:
     """X := U^{-1} L^{-1} X using the factors cached by the last lu_mf call.
 
-    X is [n, B]. Front work is dense batched triangular solves; only the
-    innermost skeleton runs level sweeps. The recursive solve compiles into
-    a single launch per (plan, batch-shape)."""
+    X is [n, B] in FULL elimination order (the caller ipvecs with the pinv
+    returned by lu_mf). Front work is dense batched triangular solves; only
+    the innermost skeleton runs level sweeps."""
     tree = plan.__dict__.get("_cache_tree")
     if tree is None:
         raise RuntimeError("solve_lu_mf requires a preceding lu_mf")
     _prep_lu_solve_indices(plan)
     fn = plan.__dict__.get("_solve_jit")
     if fn is None:
-        fn = jax.jit(lambda Xd, cache: _solve_lu_mf_dev(plan, Xd, cache))
+        # index tensors flow in as ARGUMENTS — captured jnp arrays would be
+        # baked into the executable as constants (slow compiles, big blobs)
+        fn = jax.jit(lambda Xd, cache, sdev: _solve_lu_mf_dev(
+            plan, Xd, cache, sdev))
         plan.__dict__["_solve_jit"] = fn
     Xd = jnp.asarray(X, tree[1].dtype)
-    return np.asarray(fn(Xd, tree))
+    return np.asarray(fn(Xd, tree, _collect_lu_sdev(plan)))
 
 
-def _solve_lu_mf_dev(plan: LUMFPlan, X, cache):
-    """Recursive device core: X [n, B] -> U^{-1} L^{-1} X."""
-    from ..solve import _plan_dev, _tri_sweep_multi
+def _collect_lu_sdev(plan: LUMFPlan):
+    """Nested pytree of the solve-side index tensors (passed as jit args)."""
+    sdev = {
+        "buckets": [b.__dict__["_sdev"] for b in plan.buckets],
+        "skel_idx": jnp.asarray(plan.skel),
+    }
+    sp = plan.skel_plan
+    if isinstance(sp, LUMFPlan):
+        sdev["skel"] = _collect_lu_sdev(sp)
+    elif isinstance(sp, DenseSkelPlan):
+        sdev["skel"] = None
+    else:
+        from ..solve import _plan_dev
 
-    fronts, Lxs, Uxs, sub_cache = cache
+        p0, p1 = _lu_skel_tri_plans(plan)
+        sdev["skel"] = (_plan_dev(p0), _plan_dev(p1))
+    return sdev
+
+
+def _solve_lu_mf_dev(plan: LUMFPlan, X, cache, sdev):
+    """Recursive device core: X [n, B] (elim order) -> U^{-1} L^{-1} X."""
+    from ..solve import _tri_sweep_multi
+
+    fronts, Lxs, Uxs, sub_cache, elim_inner = cache
     ns = len(plan.skel)
     n = plan.n
     B = X.shape[1]
     Xd = jnp.concatenate([X, jnp.zeros((1, B), X.dtype)])
     Ds = jnp.zeros((ns + 1, B), X.dtype)
-    devs = []
-    for b in plan.buckets:
-        d = b.__dict__.get("_sdev")
-        if d is None:
-            bc_glob = np.where(b.bc_skel < ns,
-                               plan.skel[np.clip(b.bc_skel, 0, ns - 1)], n)
-            d = (jnp.asarray(b.srow), jnp.asarray(b.br_skel),
-                 jnp.asarray(bc_glob))
-            b.__dict__["_sdev"] = d
-        devs.append(d)
-    for (Lss, Uss, LB, UB), (srow, br_skel, _) in zip(fronts, devs):
+    devs = sdev["buckets"]
+    for (Lss, Uss, LB, UB, _perm), (srow, br_skel, _) in zip(fronts, devs):
         Xd, Ds = _lu_fwd_front(Xd, Ds, Lss, LB, srow, br_skel)
-    skel_idx = jnp.asarray(plan.skel)
-    bs = Xd[skel_idx] - Ds[:ns]
+    skel_idx = sdev["skel_idx"]
+    # Ds is accumulated at PRE-PIVOT compact rows; the inner solve consumes
+    # inner-elimination order, so convert with the composed inner perm.
+    bs = Xd[skel_idx] - Ds[:ns][elim_inner]
     if isinstance(plan.skel_plan, LUMFPlan):  # recursive layer
-        ys = _solve_lu_mf_dev(plan.skel_plan, bs, sub_cache)
+        ys = _solve_lu_mf_dev(plan.skel_plan, bs, sub_cache, sdev["skel"])
+    elif isinstance(plan.skel_plan, DenseSkelPlan):
+        LUd = Lxs[: ns * ns].reshape(ns, ns)
+        Ld = jnp.tril(LUd, -1) + jnp.eye(ns, dtype=LUd.dtype)
+        ys = jax.lax.linalg.triangular_solve(
+            Ld, bs, left_side=True, lower=True, unit_diagonal=True)
+        ys = jax.lax.linalg.triangular_solve(
+            jnp.triu(LUd), ys, left_side=True, lower=False)
     else:
         p0, p1 = _lu_skel_tri_plans(plan)
-        ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], bs, *_plan_dev(p0),
+        d0, d1 = sdev["skel"]
+        ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], bs, *d0,
                               p0.nlev, p0.emax, p0.wmax, ns, True)
-        ys = _tri_sweep_multi(Uxs[: plan.skel_plan.unz], ys, *_plan_dev(p1),
+        ys = _tri_sweep_multi(Uxs[: plan.skel_plan.unz], ys, *d1,
                               p1.nlev, p1.emax, p1.wmax, ns, True)
     Xd = Xd.at[skel_idx].set(ys)
-    for (Lss, Uss, LB, UB), (srow, _, bc_glob) in zip(reversed(fronts),
-                                                      reversed(devs)):
+    for (Lss, Uss, LB, UB, _perm), (srow, _, bc_glob) in zip(
+            reversed(fronts), reversed(devs)):
         Xd = _lu_bwd_front(Xd, Uss, UB, srow, bc_glob)
     return Xd[:n]
 
@@ -628,6 +774,7 @@ def _prep_lu_factor_indices(plan: LUMFPlan):
     for b in plan.buckets:
         if b.__dict__.get("_dev") is None:
             b.__dict__["_dev"] = tuple(j(t) for t in (
+                (b.srow < plan.n),  # real pivot slots
                 b.ass_pos, b.abr_pos, b.abc_pos,
                 b.lss_pos, b.lss_f, b.lss_r, b.lss_c,
                 b.uss_pos, b.uss_f, b.uss_r, b.uss_c,
@@ -641,6 +788,9 @@ def _prep_lu_factor_indices(plan: LUMFPlan):
     sp = plan.skel_plan
     if isinstance(sp, LUMFPlan):
         _prep_lu_factor_indices(sp)
+    elif isinstance(sp, DenseSkelPlan):
+        if sp.__dict__.get("_dev") is None:
+            sp.__dict__["_dev"] = (j(sp.srows), j(sp.scols))
     else:
         assert isinstance(sp, LUPlan)
         cache = sp.__dict__.setdefault("_dev_groups", [])
@@ -650,32 +800,78 @@ def _prep_lu_factor_indices(plan: LUMFPlan):
             _prep_lu_tail_dev(sp.tail)
 
 
-def _lu_mf_values(Ax, plan: LUMFPlan, tolv):
+def _collect_lu_dev(plan: LUMFPlan):
+    """Nested pytree of the factor-side index tensors (passed as jit args —
+    closure-captured jnp arrays are baked into executables as constants)."""
+    from .lu_device import LUPlan
+
+    dev = {
+        "buckets": [b.__dict__["_dev"] for b in plan.buckets],
+        "asm": plan.__dict__["_asm_dev"],
+        "map": plan.__dict__["_map_dev"],
+    }
+    sp = plan.skel_plan
+    if isinstance(sp, LUMFPlan):
+        dev["skel"] = _collect_lu_dev(sp)
+    elif isinstance(sp, DenseSkelPlan):
+        dev["skel"] = sp.__dict__["_dev"]
+    else:
+        assert isinstance(sp, LUPlan)
+        dev["skel"] = {
+            "groups": list(sp.__dict__["_dev_groups"]),
+            "tail": (sp.tail.__dict__["_dev"] if sp.tail is not None
+                     else None),
+        }
+    return dev
+
+
+def _lu_mf_values(Ax, plan: LUMFPlan, tolv, dev):
     """Recursive core: factor device values Ax of the plan's (permuted)
     system. Returns (Lx, Ux, margins, bads, cache tree). Requires
-    _prep_lu_factor_indices(plan) to have run eagerly."""
+    _prep_lu_factor_indices(plan) to have run eagerly; `dev` is the
+    matching _collect_lu_dev tree."""
     from ._scan import run_grouped
     from .lu_device import LUPlan, _lu_step, _lu_tail_kernel
 
     Lx = jnp.zeros(plan.lnz + 1, dtype=Ax.dtype)
     Ux = jnp.zeros(plan.unz + 1, dtype=Ax.dtype)
     Csx = jnp.zeros(plan.skel_cnnz + 1, dtype=Ax.dtype)
-    a_src, a_dst = plan.__dict__["_asm_dev"]
+    a_src, a_dst = dev["asm"]
     Csx = Csx.at[a_dst].add(Ax[a_src], mode="drop")
     margins, bads = [], []
     front_vals = []
-    for b in plan.buckets:
-        Lx, Ux, Csx, mg, bd, Lss, Uss, LB, UB = _lu_front_kernel(
-            Lx, Ux, Csx, Ax, tolv, *b.__dict__["_dev"])
+    for bdev in dev["buckets"]:
+        Lx, Ux, Csx, mg, bd, Lss, Uss, LB, UB, perm = _lu_front_kernel(
+            Lx, Ux, Csx, Ax, tolv, *bdev)
         margins.append(mg)
         bads.append(bd)
-        front_vals.append((Lss, Uss, LB, UB))
+        front_vals.append((Lss, Uss, LB, UB, perm))
 
     sp = plan.skel_plan
     if isinstance(sp, LUMFPlan):  # recursive layer (skeleton is unpermuted)
-        Lxs, Uxs, m2, b2, sub_cache = _lu_mf_values(Csx[: plan.skel_cnnz], sp, tolv)
+        Lxs, Uxs, m2, b2, sub_cache = _lu_mf_values(
+            Csx[: plan.skel_cnnz], sp, tolv, dev["skel"])
         margins += m2
         bads += b2
+    elif isinstance(sp, DenseSkelPlan):
+        # dense skeleton: FULL partial pivoting — the pivot pool here is
+        # every not-yet-eliminated row, so the search is unrestricted and
+        # the tol rule is satisfiable by construction (bad only if the
+        # whole remaining column is zero = numerically singular).
+        ns = sp.ns
+        sr, sc = dev["skel"]
+        Sd = jnp.zeros((ns, ns), Ax.dtype).at[sr, sc].set(
+            Csx[: plan.skel_cnnz])
+        # threshold 1.0 = plain partial pivoting (dense block: diagonal
+        # preference buys no sparsity, so take the most stable pivot)
+        LUd, permd, worst = _pivoted_lu(
+            Sd[None], jnp.ones((1, ns), bool), jnp.asarray(1.0, Ax.dtype))
+        bads.append(jnp.any(worst == 0.0))
+        margins.append(jnp.asarray(0.0, Ax.dtype))
+        Lxs = jnp.concatenate(
+            [LUd[0].reshape(-1), jnp.ones((1,), Ax.dtype)])
+        Uxs = Lxs
+        sub_cache = permd[0]
     else:
         assert isinstance(sp, LUPlan)
         sub_cache = None
@@ -683,7 +879,7 @@ def _lu_mf_values(Ax, plan: LUMFPlan, tolv):
         Uxs = jnp.zeros(sp.unz + 1, dtype=Ax.dtype)
         (Lxs, Uxs), aux = run_grouped(
             sp.levels, _lu_step, (Lxs, Uxs),
-            (Csx[: plan.skel_cnnz], tolv), sp.__dict__["_dev_groups"])
+            (Csx[: plan.skel_cnnz], tolv), dev["skel"]["groups"])
         for gq in aux:
             margins.append(jnp.min(jnp.atleast_1d(gq[0])))
             bads.append(jnp.any(jnp.atleast_1d(gq[1])))
@@ -691,15 +887,49 @@ def _lu_mf_values(Ax, plan: LUMFPlan, tolv):
             (*_, nlev, emax, wmax) = sp.tail.tri
             Lxs, Uxs, mgt, bdt = _lu_tail_kernel(
                 Lxs, Uxs, Csx[: plan.skel_cnnz], tolv,
-                *sp.tail.__dict__["_dev"],
+                *dev["skel"]["tail"],
                 nlev=nlev, emax=emax, wmax=wmax, cut=sp.tail.cut)
             margins.append(mgt)
             bads.append(bdt)
-    l_src, l_dst, u_src, u_dst = plan.__dict__["_map_dev"]
+    l_src, l_dst, u_src, u_dst = dev["map"]
     Lx = Lx.at[l_dst].set(Lxs[l_src], mode="drop")
     Ux = Ux.at[u_dst].set(Uxs[u_src], mode="drop")
-    cache = (tuple(front_vals), Lxs, Uxs, sub_cache)
+    # elim_inner placeholder (identity) — replaced by the host finalize pass
+    cache = (tuple(front_vals), Lxs, Uxs, sub_cache,
+             jnp.arange(len(plan.skel), dtype=jnp.int32))
     return Lx, Ux, margins, bads, cache
+
+
+def _finalize_cache(plan: LUMFPlan, cache):
+    """Host pass after a successful factorization: compose the per-front
+    device pivot perms with the recursive skeleton perm.
+
+    Returns (elim, new_cache): elim[e] = pre-pivot k-row eliminated at step
+    e in this plan's space; new_cache carries the inner elimination map the
+    solve path needs to convert Ds (pre-pivot compact) to inner-elim order."""
+    n = plan.n
+    elim = np.arange(n, dtype=np.int64)
+    fronts, _Lxs, _Uxs, sub_cache, _ = cache
+    for b, fv in zip(plan.buckets, fronts):
+        permh = np.asarray(fv[4])
+        srow = b.srow
+        for t in range(srow.shape[0]):
+            valid = srow[t] < n
+            s = int(valid.sum())
+            if s == 0:
+                continue
+            aa = int(srow[t, 0])
+            elim[aa : aa + s] = aa + permh[t, :s]
+    if isinstance(plan.skel_plan, LUMFPlan):
+        inner, sub_cache = _finalize_cache(plan.skel_plan, sub_cache)
+    elif isinstance(plan.skel_plan, DenseSkelPlan):
+        inner = np.asarray(sub_cache, dtype=np.int64)  # dense pivot perm
+    else:
+        inner = np.arange(len(plan.skel), dtype=np.int64)
+    elim[plan.skel] = plan.skel[inner]
+    new_cache = (fronts, _Lxs, _Uxs, sub_cache,
+                 jnp.asarray(inner.astype(np.int32)))
+    return elim, new_cache
 
 
 def _lu_plan_index_entries(plan: LUMFPlan) -> int:
@@ -710,16 +940,18 @@ def _lu_plan_index_entries(plan: LUMFPlan) -> int:
     sp = plan.skel_plan
     if isinstance(sp, LUMFPlan):
         total += _lu_plan_index_entries(sp)
+    elif isinstance(sp, DenseSkelPlan):
+        total += sp.ns * sp.ns
     else:
         total += sum(sum(t.size for t in lev) for lev in sp.levels)
     return total
 
 
 def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
-    """Run the multifrontal LU — fused into one launch when the plan is
-    small enough for the compile pipeline, eagerly otherwise. Returns a
-    lu_device-style tuple or None when the stability margin rejects static
-    pivoting."""
+    """Run the pivoting multifrontal LU — fused into one launch when the
+    plan is small enough for the compile pipeline, eagerly otherwise.
+    Returns a lu_device-style tuple (with composed pinv) or None when a
+    boundary row wins the pivot competition (host fallback)."""
     from .frontal import FUSE_ENTRY_CAP
 
     _prep_lu_factor_indices(plan)
@@ -730,11 +962,13 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
     tolv = jnp.asarray(float(tol), Ax.dtype)
     fuse = plan.__dict__.setdefault(
         "_fuse_ok", _lu_plan_index_entries(plan) <= FUSE_ENTRY_CAP)
+    dev = _collect_lu_dev(plan)
     if fuse:
         fn = plan.__dict__.get("_factor_jit")
         if fn is None:
-            def run(Ax, tolv):
-                Lx, Ux, margins, bads, cache = _lu_mf_values(Ax, plan, tolv)
+            def run(Ax, tolv, dev):
+                Lx, Ux, margins, bads, cache = _lu_mf_values(
+                    Ax, plan, tolv, dev)
                 mg = (jnp.min(jnp.stack(margins)) if margins
                       else jnp.asarray(0.0, Ax.dtype))
                 bad = jnp.any(jnp.stack(bads)) if bads else jnp.asarray(False)
@@ -742,18 +976,33 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
 
             fn = jax.jit(run)
             plan.__dict__["_factor_jit"] = fn
-        Lx, Ux, mg, bad, cache = fn(Ax, tolv)
+        Lx, Ux, mg, bad, cache = fn(Ax, tolv, dev)
     else:
-        Lx, Ux, margins, bads, cache = _lu_mf_values(Ax, plan, tolv)
+        Lx, Ux, margins, bads, cache = _lu_mf_values(Ax, plan, tolv, dev)
         mg = jnp.min(jnp.stack(margins)) if margins else 0.0
         bad = jnp.any(jnp.stack(bads)) if bads else False
-    if bool(bad) or not (float(mg) >= 0.0):
-        # host fallback will produce different (pivoted) factors — a stale
-        # cache must not serve solves for them
+    # Accept unless a pivot is exactly zero or the element growth implied by
+    # a dominating boundary row (worst = 1/max|L_B|) is beyond what the
+    # solver drivers' iterative refinement can contract (growth*eps must be
+    # well below 1; 1e10 leaves two orders of safety). The drivers verify
+    # the actual residual and fall back to the host engine's exact global
+    # pivoting if refinement diverges (solve._lu_mf_refine).
+    worst_min = float(mg) + float(tol)
+    if bool(bad) or not (worst_min >= 1e-10):
         plan.__dict__.pop("_cache_tree", None)
         return None
+    # host finalize: compose pivot perms -> labels + pinv
+    elim, cache = _finalize_cache(plan, cache)
     plan.__dict__["_cache_tree"] = cache
-    pinv = (plan.row_pinv if plan.row_pinv is not None
-            else np.arange(plan.n, dtype=np.int64))
-    return (plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz]),
-            plan.Up, plan.Ui, np.asarray(Ux[: plan.unz]), pinv)
+    einv = np.empty(plan.n, dtype=np.int64)
+    einv[elim] = np.arange(plan.n)
+    Li = plan.Li.copy()
+    Li[plan.li_skel] = einv[Li[plan.li_skel]]
+    Ui = plan.Ui.copy()
+    Ui[plan.ui_skel] = einv[Ui[plan.ui_skel]]
+    if plan.row_pinv is not None:
+        pinv = einv[plan.row_pinv]
+    else:
+        pinv = einv.copy()
+    return (plan.Lp, Li, np.asarray(Lx[: plan.lnz]),
+            plan.Up, Ui, np.asarray(Ux[: plan.unz]), pinv)

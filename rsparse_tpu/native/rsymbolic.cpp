@@ -1138,4 +1138,141 @@ void rt_gaxpy(i64 m, i64 n, const i64* Ap, const i64* Ai, const double* Ax,
     for (i64 q = Ap[j]; q < Ap[j + 1]; q++) r[Ai[q]] += Ax[q] * x[j];
 }
 
+// ---------------------------------------------------------------------------
+// Host sequential SpGEMM C = A*B (reference Gustavson multiply,
+// src/lib.rs:713-748 with the scatter of src/lib.rs:2281-2306).
+// Bench denominator: the reference's exact column-wise scatter algorithm.
+// Caller passes output buffers sized cap; returns nnz(C) or -1 on overflow
+// (caller retries with a larger cap).
+// ---------------------------------------------------------------------------
+i64 rt_multiply(i64 am, i64 an, const i64* Ap, const i64* Ai, const double* Ax,
+                i64 bn, const i64* Bp, const i64* Bi, const double* Bx,
+                i64 cap, i64* Cp, i64* Ci, double* Cx) {
+  std::vector<i64> w(am, -1);
+  std::vector<double> x(am, 0.0);
+  i64 nz = 0;
+  for (i64 j = 0; j < bn; j++) {
+    Cp[j] = nz;
+    for (i64 p = Bp[j]; p < Bp[j + 1]; p++) {
+      i64 k = Bi[p];
+      double beta = Bx[p];
+      for (i64 q = Ap[k]; q < Ap[k + 1]; q++) {
+        i64 i = Ai[q];
+        if (w[i] < j + 1) {
+          if (nz >= cap) return -1;
+          w[i] = j + 1;
+          Ci[nz++] = i;
+          x[i] = beta * Ax[q];
+        } else {
+          x[i] += beta * Ax[q];
+        }
+      }
+    }
+    for (i64 p = Cp[j]; p < nz; p++) Cx[p] = x[Ci[p]];
+  }
+  Cp[bn] = nz;
+  return nz;
+}
+
+// ---------------------------------------------------------------------------
+// Static-pivoting row matching (MC64-flavoured, SuperLU_DIST's GESP prep).
+// Finds a row permutation placing large entries on the diagonal: greedy
+// matching on entries sorted by descending |a_ij| / colmax_j, then Kuhn
+// alternating-path augmentation (entries within a column tried largest
+// first) for the leftovers. A perfect matching exists iff the nonzero
+// pattern is structurally nonsingular. On success fills
+// pinv[row] = matched column (the row's new position) and returns 1.
+// The device LU's per-front threshold pivoting + tol stability margin
+// (reference rule src/lib.rs:587-589) still guards the numerics downstream,
+// so a merely-good (not provably optimal) matching suffices.
+// ---------------------------------------------------------------------------
+int rt_match(i64 n, const i64* Ap, const i64* Ai, const double* Ax,
+             i64* pinv) {
+  i64 nnz = Ap[n];
+  std::vector<double> w(nnz, 0.0);
+  std::vector<i64> colof(nnz);
+  for (i64 j = 0; j < n; j++) {
+    double cmax = 0.0;
+    for (i64 q = Ap[j]; q < Ap[j + 1]; q++)
+      cmax = std::max(cmax, std::fabs(Ax[q]));
+    for (i64 q = Ap[j]; q < Ap[j + 1]; q++) {
+      colof[q] = j;
+      w[q] = (cmax > 0.0) ? std::fabs(Ax[q]) / cmax : 0.0;
+    }
+  }
+  std::vector<i64> order(nnz);
+  for (i64 q = 0; q < nnz; q++) order[q] = q;
+  std::sort(order.begin(), order.end(),
+            [&](i64 a, i64 b) { return w[a] > w[b]; });
+  std::vector<i64> mrow(n, -1), mcol(n, -1);  // row->col, col->row
+  for (i64 k = 0; k < nnz; k++) {
+    i64 q = order[k];
+    if (w[q] == 0.0) break;  // numeric zeros are structural for matching
+    i64 i = Ai[q], j = colof[q];
+    if (mrow[i] < 0 && mcol[j] < 0) { mrow[i] = j; mcol[j] = i; }
+  }
+  // per-column entry order by descending weight (for augmentation quality)
+  std::vector<i64> eorder(nnz);
+  {
+    std::vector<i64> cur(n);
+    for (i64 j = 0; j < n; j++) cur[j] = Ap[j];
+    for (i64 k = 0; k < nnz; k++) {
+      i64 q = order[k];
+      eorder[cur[colof[q]]++] = q;
+    }
+  }
+  std::vector<i64> visited(n, -1), stack_j(n), stack_p(n), row_from(n, -1);
+  for (i64 j0 = 0; j0 < n; j0++) {
+    if (mcol[j0] >= 0) continue;
+    // iterative alternating-path DFS from column j0; tree edges are
+    // column->row (a nonzero entry) and row->its matched column. Matches
+    // flip only on success (commit-on-augment).
+    i64 top = 0;
+    stack_j[0] = j0;
+    stack_p[0] = Ap[j0];
+    i64 end_row = -1;
+    while (top >= 0 && end_row < 0) {
+      i64 j = stack_j[top];
+      i64 q = stack_p[top];
+      bool descended = false;
+      for (; q < Ap[j + 1]; q++) {
+        i64 e = eorder[q];
+        if (w[e] == 0.0) continue;
+        i64 i = Ai[e];
+        if (visited[i] == j0) continue;
+        visited[i] = j0;
+        row_from[i] = j;
+        if (mrow[i] < 0) {
+          end_row = i;  // augmenting path found
+          break;
+        }
+        stack_p[top] = q + 1;
+        ++top;
+        stack_j[top] = mrow[i];
+        stack_p[top] = Ap[mrow[i]];
+        descended = true;
+        break;
+      }
+      if (end_row >= 0 || descended) continue;
+      --top;  // column exhausted
+    }
+    if (end_row < 0) return 0;  // structurally singular (on nonzero values)
+    // augment: flip entry edges along the path back to j0
+    i64 i = end_row;
+    while (true) {
+      i64 j = row_from[i];
+      i64 prev = mcol[j];
+      mrow[i] = j;
+      mcol[j] = i;
+      if (j == j0) break;
+      i = prev;
+    }
+  }
+  for (i64 i = 0; i < n; i++) {
+    if (mrow[i] < 0) return 0;
+    pinv[i] = mrow[i];
+  }
+  return 1;
+}
+
 }  // extern "C"

@@ -380,9 +380,14 @@ def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
         from .factor.frontal_lu import solve_lu_mf
 
         X = solve_lu_mf(mfp, X)
-    else:
-        X = lsolve_multi(nm.l, X)
-        X = usolve_multi(nm.u, X)
+        out = np.zeros_like(X)
+        if s.q is not None:
+            out[np.asarray(s.q, dtype=np.int64)] = X
+        else:
+            out[:] = X
+        return _lu_mf_refine(a, s, nm, mfp, Bm, out)
+    X = lsolve_multi(nm.l, X)
+    X = usolve_multi(nm.u, X)
     out = np.zeros_like(X)
     if s.q is not None:
         out[np.asarray(s.q, dtype=np.int64)] = X
@@ -646,19 +651,106 @@ def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6,
             from .factor.frontal_lu import solve_lu_mf
 
             x = solve_lu_mf(mfp, x[:, None])[:, 0]
-        else:
-            x = lsolve(nm.l, x)  # x = L\x
-            x = usolve(nm.u, x)  # x = U\x
+            out = np.zeros(n, dtype=np.float64)
+            ops.ipvec(n, s.q, x, out)  # b = Q*x
+            out = _lu_mf_refine(a, s, nm, mfp, bb, out)
+            _writeback(b, out)
+            return out
+        x = lsolve(nm.l, x)  # x = L\x
+        x = usolve(nm.u, x)  # x = U\x
     out = np.zeros(n, dtype=np.float64)
     ops.ipvec(n, s.q, x, out)  # b = Q*x
     _writeback(b, out)
     return out
 
 
+def _host_spmm(a: Sprs, X: np.ndarray) -> np.ndarray:
+    """R = A @ X for X [n, B], vectorized host numpy (IR residuals)."""
+    nz = a.nnz()
+    cols = col_ids(a.p, a.n)
+    R = np.zeros((a.m, X.shape[1]), dtype=np.float64)
+    np.add.at(R, a.i[:nz], a.x[:nz][:, None] * X[cols])
+    return R
+
+
+def _lu_mf_refine(a: Sprs, s, nm, mfp, B: np.ndarray, X: np.ndarray,
+                  steps: int = 2):
+    """Iterative refinement against the f64 matrix for the device MF-LU.
+
+    The device path pivots within fronts (threshold 0.1) instead of
+    reproducing the reference's exact global pivot sequence, so moderate
+    element growth is possible; one or two refinement steps with the cached
+    factor tree restore reference-level residuals. If refinement diverges
+    (extreme growth the margin did not catch), recompute through the host
+    engine's exact partial pivoting."""
+    from .factor.frontal_lu import solve_lu_mf
+
+    n = a.n
+    single = X.ndim == 1
+    Xm = X[:, None] if single else X
+    Bm = B[:, None] if single else B
+    r = Bm - _host_spmm(a, Xm)
+    scale = max(np.abs(Bm).max(), np.abs(Xm).max(), 1.0)
+    r0 = np.abs(r).max()
+    for _ in range(max(0, steps)):
+        if np.abs(r).max() <= 1e-14 * scale:
+            break
+        z = np.zeros_like(Xm)
+        z[np.asarray(nm.pinv, dtype=np.int64)] = r
+        dz = solve_lu_mf(mfp, z)
+        upd = np.zeros_like(Xm)
+        if s.q is not None:
+            upd[np.asarray(s.q, dtype=np.int64)] = dz
+        else:
+            upd[:] = dz
+        Xm = Xm + upd
+        r = Bm - _host_spmm(a, Xm)
+    if np.abs(r).max() > max(r0, 1e-8 * scale) and np.abs(r).max() > 1e-8 * scale:
+        # refinement failed to converge: exact host fallback
+        from .symbolic import native as _native
+
+        nz = a.nnz()
+        Lp, Li, Lx, Up, Ui, Ux, pinv = _native.lu_numeric(
+            n, a.p, a.i[:nz], a.x[:nz], s.q, 1e-6, s.lnz, s.unz)
+        lmat = Sprs(len(Lx), n, n, Lp, Li, Lx)
+        umat = Sprs(len(Ux), n, n, Up, Ui, Ux)
+        cols_out = np.zeros_like(Xm)
+        for k in range(Xm.shape[1]):
+            xx = np.zeros(n)
+            ops.ipvec(n, pinv, Bm[:, k], xx)
+            xx = _tri_solve(lmat, xx, 0)
+            xx = _tri_solve(umat, xx, 1)
+            o = np.zeros(n)
+            ops.ipvec(n, s.q, xx, o)
+            cols_out[:, k] = o
+        Xm = cols_out
+    return Xm[:, 0] if single else Xm
+
+
+def _qr_mf_try(a: Sprs, s: Symb):
+    """Build+factor the multifrontal QR tree when the problem is device-
+    scale; returns the plan or None (small problems / inapplicable)."""
+    if a.n < config.mf_min_n or config.backend == "host":
+        return None
+    from .factor.frontal_qr import build_qr_mf_plan, qr_mf
+
+    plan = getattr(s, "_mf_qr_plan", "unset")
+    if plan == "unset":
+        try:
+            plan = build_qr_mf_plan(a, s)
+        except Exception:
+            plan = None
+        s._mf_qr_plan = plan
+    if plan is not None and plan.__dict__.get("_cache_q") is None:
+        qr_mf(a, s, plan)
+    return plan
+
+
 def qrsol(a: Sprs, b, order: int = 2):
     """x = A\\b via QR; handles overdetermined (least-squares) and
     underdetermined (minimum-norm via QR of A') systems
-    (reference src/lib.rs:927-956)."""
+    (reference src/lib.rs:927-956). At scale both branches run through the
+    multifrontal device tree (factor/frontal_qr.py)."""
     from .factor import qr
     from .symbolic import sqr
 
@@ -666,6 +758,15 @@ def qrsol(a: Sprs, b, order: int = 2):
     bb = np.asarray(b, dtype=np.float64)
     if m >= n:
         s = sqr(a, order, True)
+        mfq = _qr_mf_try(a, s)
+        if mfq is not None:
+            from .factor.frontal_qr import qrsol_mf_ls
+
+            xp = qrsol_mf_ls(a, s, mfq, bb[:m])
+            out = np.zeros(n, dtype=np.float64)
+            ops.ipvec(n, s.q, xp, out)
+            _writeback(b, out)
+            return out
         nm = qr(a, s)
         x = np.zeros(s.m2, dtype=np.float64)
         ops.ipvec(m, s.pinv, bb[:m], x)  # x(0:m-1) = P*b
@@ -677,6 +778,13 @@ def qrsol(a: Sprs, b, order: int = 2):
     else:
         at = ops.transpose(a)  # underdetermined: QR of A'
         s = sqr(at, order, True)
+        mfq = _qr_mf_try(at, s)
+        if mfq is not None:
+            from .factor.frontal_qr import qrsol_mf_mn
+
+            out = qrsol_mf_mn(at, s, mfq, bb[:m])
+            _writeback(b, out)
+            return out
         nm = qr(at, s)
         x = np.zeros(s.m2, dtype=np.float64)
         ops.pvec(m, s.q, bb, x)  # x = Q'*b

@@ -67,6 +67,12 @@ def _load() -> ctypes.CDLL:
     lib.rt_utsolve.argtypes = [_i64, _i64p, _i64p, _f64p, _f64p]
     lib.rt_tri_levels.argtypes = [_i64, _i64p, _i64p, _int, _i64p]
     lib.rt_gaxpy.argtypes = [_i64, _i64, _i64p, _i64p, _f64p, _f64p, _f64p, _f64p]
+    lib.rt_match.argtypes = [_i64, _i64p, _i64p, _f64p, _i64p]
+    lib.rt_match.restype = _int
+    lib.rt_multiply.argtypes = [_i64, _i64, _i64p, _i64p, _f64p,
+                                _i64, _i64p, _i64p, _f64p,
+                                _i64, _i64p, _i64p, _f64p]
+    lib.rt_multiply.restype = _i64
     return lib
 
 
@@ -256,3 +262,34 @@ def gaxpy_host(m, n, Ap, Ai, Ax, x, y):
     _lib.rt_gaxpy(m, n, _c(Ap), _c(Ai), _c(Ax, np.float64),
                   _c(x, np.float64), _c(y, np.float64), r)
     return r
+
+
+def match(n: int, Ap: np.ndarray, Ai: np.ndarray, Ax: np.ndarray):
+    """Static-pivoting row matching (MC64-flavoured; SuperLU_DIST GESP prep).
+
+    Returns pinv with pinv[row] = matched column (the row's new position) so
+    A(pinv,:) has large entries on its diagonal, or None when the nonzero
+    values are structurally singular. No reference counterpart (the
+    reference pivots dynamically, src/lib.rs:565-589); this is the
+    TPU-first preprocover that makes static/front-restricted pivoting
+    stable on device.
+    """
+    pinv = np.empty(n, dtype=np.int64)
+    ok = _lib.rt_match(n, _c(Ap), _c(Ai), _c(Ax, np.float64), pinv)
+    return pinv if ok else None
+
+
+def multiply_host(am, an, Ap, Ai, Ax, bn, Bp, Bi, Bx):
+    """Reference-exact Gustavson SpGEMM in C++ (bench denominator;
+    reference src/lib.rs:713-748). Returns (Cp, Ci, Cx)."""
+    cap = max(int(len(Ax)) + int(len(Bx)), 16)
+    while True:
+        Cp = np.zeros(bn + 1, dtype=np.int64)
+        Ci = np.zeros(cap, dtype=np.int64)
+        Cx = np.zeros(cap, dtype=np.float64)
+        nz = _lib.rt_multiply(am, an, _c(Ap), _c(Ai), _c(Ax, np.float64),
+                              bn, _c(Bp), _c(Bi), _c(Bx, np.float64),
+                              cap, Cp, Ci, Cx)
+        if nz >= 0:
+            return Cp, Ci[:nz], Cx[:nz]
+        cap *= 2

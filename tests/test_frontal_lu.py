@@ -65,7 +65,8 @@ def test_mf_lu_margin_fallback():
 def test_mf_lu_recursion_correct(monkeypatch):
     import rsparse_tpu.factor.frontal_lu as flu
 
-    monkeypatch.setattr(flu, "RECURSE_MIN", 200)
+    # skeletons beyond DENSE_SKEL_MAX recurse into another front layer
+    monkeypatch.setattr(flu, "DENSE_SKEL_MAX", 64)
     a, d = _dd_banded(seed=5)
     rng = np.random.default_rng(8)
     b = rng.standard_normal(a.n)

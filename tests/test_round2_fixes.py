@@ -109,16 +109,20 @@ def test_lu_mf_plan_failure_leaves_symb_q_untouched():
     q0 = None if s.q is None else np.asarray(s.q).copy()
     import rsparse_tpu.factor.frontal_lu as fl
 
-    # force the plan build to fail at the last step (skeleton plan)
+    # force the plan build to fail at the last step (skeleton plan): disable
+    # both the dense-skeleton path and the level-plan fallback
     import importlib
 
     lud = importlib.import_module("rsparse_tpu.factor.lu_device")
     orig_bp = lud.build_lu_plan
+    orig_dmax = fl.DENSE_SKEL_MAX
     try:
         lud.build_lu_plan = lambda *a_, **k_: None
+        fl.DENSE_SKEL_MAX = -1
         plan = build_lu_mf_plan(a, s, smax=8)
     finally:
         lud.build_lu_plan = orig_bp
+        fl.DENSE_SKEL_MAX = orig_dmax
     assert plan is None
     if q0 is None:
         assert s.q is None
