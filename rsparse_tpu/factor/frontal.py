@@ -462,7 +462,9 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
         plan.__dict__.pop("_cache_tree", None)
         raise NotPositiveDefiniteError()
     plan.__dict__["_cache_tree"] = cache
-    return plan.Lp, plan.Li, np.asarray(Lx[: plan.lnz])
+    # device slice — the MF solve path never reads factor values on host,
+    # so the (tens-of-MB) transfer is deferred until someone actually does
+    return plan.Lp, plan.Li, Lx[: plan.lnz]
 
 
 # ---------------------------------------------------------------------------

@@ -1004,5 +1004,6 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
         pinv = einv[plan.row_pinv]
     else:
         pinv = einv.copy()
-    return (plan.Lp, Li, np.asarray(Lx[: plan.lnz]),
-            plan.Up, Ui, np.asarray(Ux[: plan.unz]), pinv)
+    # device slices — the MF solve path never reads factor values on host
+    return (plan.Lp, Li, Lx[: plan.lnz],
+            plan.Up, Ui, Ux[: plan.unz], pinv)

@@ -53,6 +53,22 @@ class DiaPlan:
     rem_vals: Optional[np.ndarray]
     rem_rows: Optional[np.ndarray]
     rem_cols: Optional[np.ndarray]
+    # value-refresh maps (flat positions into dia / remainder per A entry)
+    val_kk: Optional[np.ndarray] = None  # diag index per kept entry
+    val_rows: Optional[np.ndarray] = None  # row per kept entry
+    val_keep: Optional[np.ndarray] = None  # kept-entry mask over a.x[:nnz]
+
+
+def refresh_dia_values(plan: DiaPlan, x: np.ndarray) -> DiaPlan:
+    """Rebuild the plan's value tensors from new entry values `x` (same
+    sparsity pattern) without re-deriving the diagonal structure."""
+    K = len(plan.offsets)
+    dia = np.zeros((K, plan.rr * _LANE), plan.dia.dtype)
+    keep = plan.val_keep
+    dia[plan.val_kk, plan.val_rows] = x[keep].astype(plan.dia.dtype)
+    rem = None if plan.rem_vals is None else x[~keep].astype(plan.dia.dtype)
+    return dataclasses.replace(
+        plan, dia=dia.reshape(K, plan.rr, _LANE), rem_vals=rem)
 
 
 def dia_plan(a: Sprs, max_diags: int = 48, dtype=np.float32) -> DiaPlan:
@@ -95,7 +111,30 @@ def dia_plan(a: Sprs, max_diags: int = 48, dtype=np.float32) -> DiaPlan:
         rem_vals=vals[rem].astype(dtype) if rem.any() else None,
         rem_rows=rows[rem].astype(np.int32) if rem.any() else None,
         rem_cols=cols[rem].astype(np.int32) if rem.any() else None,
+        val_kk=kk,
+        val_rows=rows[keep],
+        val_keep=keep,
     )
+
+
+_DIA_PLAN_CACHE: dict = {}
+
+
+def dia_plan_cached(a: Sprs, max_diags: int = 10**9,
+                    dtype=np.float64) -> DiaPlan:
+    """Pattern-keyed DIA plan cache with value refresh (repeated SpGEMM /
+    SpMV on one pattern skips the O(nnz) unique/offset derivation)."""
+    from .plan import pattern_key
+
+    key = (pattern_key(a), int(max_diags), np.dtype(dtype).name)
+    plan = _DIA_PLAN_CACHE.get(key)
+    if plan is None:
+        if len(_DIA_PLAN_CACHE) > 64:
+            _DIA_PLAN_CACHE.clear()
+        plan = dia_plan(a, max_diags=max_diags, dtype=dtype)
+        _DIA_PLAN_CACHE[key] = plan
+        return plan
+    return refresh_dia_values(plan, a.x[: a.nnz()])
 
 
 def _flat_shift(w, o: int, wr: int):
@@ -215,43 +254,18 @@ def spmv_fn(plan: DiaPlan):
     return f
 
 
-def spgemm_dia(a: Sprs, b: Sprs, trim: bool = True) -> Sprs:
-    """C = A @ B in diagonal form: a *convolution of diagonals*.
-
-    With A[i,k] on diagonal o1 = i-k and B[k,j] on o2 = k-j, the product
-    contributes C[i, j] on diagonal o1+o2 as
-
-        c_{o1+o2}[i] += a_{o1}[i] * b_{o2}[i - o1]
-
-    i.e. K_A x K_B shifted elementwise multiply-adds — the TPU-native SpGEMM
-    for banded/structured matrices (no scatter, no hash, perfectly coalesced
-    streams; the reference's Gustavson scatter is src/lib.rs:713-748).
-    Falls back implicitly via `ops.multiply` being the general API; this is
-    the performance path when both operands are predominantly diagonal.
-
-    The result pattern is full diagonals; `trim=True` drops the explicit
-    zeros so the CSC output matches `multiply`'s structural behavior.
-    """
+def spgemm_dia_fn(pa: DiaPlan, pb: DiaPlan, bn: int):
+    """Build the jitted device SpGEMM-as-diagonal-convolution kernel for a
+    (pattern(A), pattern(B)) pair. Returns (c_offsets, compute) where
+    compute(da [KA, n_el_c-padded], db [KB, n_el_b]) -> c [Kc, n_el_c]."""
     import jax
     import jax.numpy as jnp
 
-    if a.n != b.m:
-        raise ValueError(f"dimension mismatch: A is {a.m}x{a.n}, B is {b.m}x{b.n}")
-    pa = dia_plan(a, max_diags=10**9, dtype=np.float64)
-    pb = dia_plan(b, max_diags=10**9, dtype=np.float64)
-    assert pa.rem_vals is None and pb.rem_vals is None
     KA, KB = len(pa.offsets), len(pb.offsets)
-    from . import multiply as _general_multiply
-
-    if KA * KB > 65536 or KA > 1024:
-        # not banded enough for the diagonal formulation — Gustavson path
-        return _general_multiply(a, b)
-    n_el_a = pa.rr * _LANE
     n_el_b = pb.rr * _LANE
     c_offsets = sorted({o1 + o2 for o1 in pa.offsets for o2 in pb.offsets})
     c_idx = {o: i for i, o in enumerate(c_offsets)}
-    m = a.m
-    rr_c = -(-max(m, b.n) // _LANE)
+    rr_c = -(-max(pa.m, bn) // _LANE)
     n_el_c = rr_c * _LANE
     # pad B rows so b[i - o1] stays in range for all o1. The slice window is
     # [pad - o1, pad - o1 + n_el_c); with o1 ∈ [-pad, pad] its end can reach
@@ -276,36 +290,88 @@ def spgemm_dia(a: Sprs, b: Sprs, trim: bool = True) -> Sprs:
             c = c.at[rows_per_o1[i1]].add(da[i1, :n_el_c][None, :] * shifted)
         return c
 
+    return c_offsets, compute
+
+
+def spgemm_dia(a: Sprs, b: Sprs, trim: bool = True) -> Sprs:
+    """C = A @ B in diagonal form: a *convolution of diagonals*.
+
+    With A[i,k] on diagonal o1 = i-k and B[k,j] on o2 = k-j, the product
+    contributes C[i, j] on diagonal o1+o2 as
+
+        c_{o1+o2}[i] += a_{o1}[i] * b_{o2}[i - o1]
+
+    i.e. K_A x K_B shifted elementwise multiply-adds — the TPU-native SpGEMM
+    for banded/structured matrices (no scatter, no hash, perfectly coalesced
+    streams; the reference's Gustavson scatter is src/lib.rs:713-748).
+    Falls back implicitly via `ops.multiply` being the general API; this is
+    the performance path when both operands are predominantly diagonal.
+
+    The result pattern is full diagonals; `trim=True` drops the explicit
+    zeros so the CSC output matches `multiply`'s structural behavior.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if a.n != b.m:
+        raise ValueError(f"dimension mismatch: A is {a.m}x{a.n}, B is {b.m}x{b.n}")
+    pa = dia_plan_cached(a)
+    pb = dia_plan_cached(b)
+    assert pa.rem_vals is None and pb.rem_vals is None
+    KA, KB = len(pa.offsets), len(pb.offsets)
+    from . import multiply as _general_multiply
+
+    if KA * KB > 65536 or KA > 1024:
+        # not banded enough for the diagonal formulation — Gustavson path
+        return _general_multiply(a, b)
+    c_offsets, compute = spgemm_dia_fn(pa, pb, b.n)
+    m = a.m
+    n_el_a = pa.rr * _LANE
+    n_el_b = pb.rr * _LANE
+    rr_c = -(-max(m, b.n) // _LANE)
+    n_el_c = rr_c * _LANE
     da = jnp.asarray(pa.dia.reshape(KA, n_el_a))
     db = jnp.asarray(pb.dia.reshape(KB, n_el_b))
     if n_el_a < n_el_c:
         da = jnp.pad(da, ((0, 0), (0, n_el_c - n_el_a)))
     c = np.asarray(compute(da, db))
-    # DIA -> CSC (host): rows i on diag o have col j = i - o
-    rows_list, cols_list, vals_list = [], [], []
+    # DIA -> CSC, sort-free: within a column, entries sorted by row = j + o,
+    # i.e. by ascending diagonal offset — so each diagonal's slot is its
+    # RANK among the diagonals valid at that column. One O(n) pass per
+    # diagonal replaces the old O(nnz log nnz) lexsort.
+    nc = b.n
+    Kc = len(c_offsets)
+    cnt = np.zeros(nc + 1, dtype=np.int64)
+    ranges = []
+    for o in c_offsets:
+        jlo = max(0, -o)
+        jhi = min(nc, m - o)
+        ranges.append((jlo, jhi))
+        if jlo < jhi:
+            cnt[jlo] += 1
+            cnt[jhi] -= 1
+    cnt = np.cumsum(cnt[:-1])
+    Cp = np.zeros(nc + 1, dtype=np.int64)
+    np.cumsum(cnt, out=Cp[1:])
+    rank = np.zeros(nc, dtype=np.int64)
+    rows = np.empty(int(Cp[nc]), dtype=np.int64)
+    vals = np.empty(int(Cp[nc]), dtype=np.float64)
     for idx, o in enumerate(c_offsets):
-        lo = max(0, o)
-        hi = min(m, b.n + o)
-        if lo >= hi:
+        jlo, jhi = ranges[idx]
+        if jlo >= jhi:
             continue
-        i_ = np.arange(lo, hi)
-        v = c[idx, lo:hi]
-        keep = v != 0.0 if trim else np.ones(len(v), bool)
-        rows_list.append(i_[keep])
-        cols_list.append(i_[keep] - o)
-        vals_list.append(v[keep])
-    if rows_list:
-        rows = np.concatenate(rows_list)
-        cols = np.concatenate(cols_list)
-        vals = np.concatenate(vals_list)
-        order = np.lexsort((rows, cols))
-        rows, cols, vals = rows[order], cols[order], vals[order]
-    else:
-        rows = cols = np.zeros(0, np.int64)
-        vals = np.zeros(0, np.float64)
-    p = np.zeros(b.n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(cols, minlength=b.n), out=p[1:])
-    return Sprs(len(vals), m, b.n, p, rows, vals)
+        js = np.arange(jlo, jhi)
+        pos = Cp[jlo:jhi] + rank[jlo:jhi]
+        rows[pos] = js + o
+        vals[pos] = c[idx, jlo + o : jhi + o]
+        rank[jlo:jhi] += 1
+    if trim:
+        keep = vals != 0.0
+        kept_before = np.concatenate([[0], np.cumsum(keep)])
+        Cp = kept_before[Cp]
+        rows = rows[keep]
+        vals = vals[keep]
+    return Sprs(len(vals), m, nc, Cp, rows, vals)
 
 
 def spmv(a: Sprs, x, plan: Optional[DiaPlan] = None):
