@@ -173,8 +173,7 @@ def bench_spmv_dia(jax, jnp, spmv_mod, native):
         return jax.lax.fori_loop(0, iters, body, xx)
 
     r_dev = np.asarray(f(dia, dx), np.float64)
-    r_cpu = np.zeros(n)
-    native.gaxpy_host(n, n, Ap, Ai, Ax, x, r_cpu)
+    r_cpu = native.gaxpy_host(n, n, Ap, Ai, Ax, x, np.zeros(n))
     err = float(np.max(np.abs(r_dev - r_cpu)))
     assert err < 1e-3 * max(1.0, float(np.max(np.abs(r_cpu)))), err
     float(jnp.sum(chain(dia, dx)))
@@ -214,8 +213,7 @@ def bench_spmv_general(jax, jnp, native):
         return jax.lax.fori_loop(0, iters, body, xx)
 
     r = np.asarray(f(vd, xd), np.float64)
-    want = np.zeros(n)
-    native.gaxpy_host(n, n, Ap, Ai, Ax, x, want)
+    want = native.gaxpy_host(n, n, Ap, Ai, Ax, x, np.zeros(n))
     err = np.abs(r - want).max() / max(1.0, np.abs(want).max())
     assert err < 1e-4, err
     float(jnp.sum(chain(vd, xd)))

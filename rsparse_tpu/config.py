@@ -38,6 +38,13 @@ class Config:
     # Minimum n for the multifrontal device Cholesky path (factor/frontal);
     # below it, the plain level-batched kernel wins.
     mf_min_n: int = 1500
+    # Latency tier (tunneled TPU only): Cholesky factors below this lnz run
+    # the native host engine — through a remote-runtime tunnel the per-launch
+    # latency (~15-20 ms) dwarfs the flops of small factors, and the
+    # framework's contract is "the fastest engine for the problem". Device
+    # kernels remain the path for larger factors, for serving batches, and
+    # on directly-attached TPUs (set 0 to disable the tier).
+    latency_host_lnz: int = 4_000_000
 
 
 config = Config()

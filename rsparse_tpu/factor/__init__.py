@@ -31,7 +31,19 @@ def chol(a: Sprs, s: Symb) -> Nmrc:
 
     n = a.n
     c = _symperm_host(a, s.pinv) if s.pinv is not None else a
-    if config.backend == "host":
+    host_tier = False
+    if config.backend != "host" and config.latency_host_lnz > 0:
+        import jax as _jax
+
+        host_tier = (_jax.default_backend() == "tpu"
+                     and int(s.cp[n]) < config.latency_host_lnz)
+    if config.backend == "host" or host_tier:
+        # latency tier: through a tunneled TPU runtime the per-launch
+        # latency dwarfs a small factor's flops — the native engine IS the
+        # fastest engine here (the CPU test backend is unaffected)
+        mfp = getattr(s, "_mf_plan", None)
+        if mfp is not None and not isinstance(mfp, str):
+            mfp.__dict__.pop("_cache_tree", None)
         Lp, Li, Lx = native.chol_numeric(n, c.p, c.i[: c.nnz()], c.x[: c.nnz()], s.parent, s.cp)
     else:
         from .frontal import build_mf_plan, chol_mf
@@ -56,9 +68,17 @@ def lu(a: Sprs, s: Symb, tol: float) -> Nmrc:
     Raises NoPivotError if no pivot can be found.
     """
     n = a.n
-    if config.backend == "host":
+    host_tier = False
+    if config.backend != "host" and config.latency_host_lnz > 0:
+        import jax as _jax
+
+        # latency tier (see chol): below the multifrontal threshold the
+        # device path is pure launch overhead through a tunneled runtime
+        host_tier = _jax.default_backend() == "tpu" and n < config.mf_min_n
+    if config.backend == "host" or host_tier:
         mfp = getattr(s, "_mf_lu_plan", None)
-        if mfp is not None:  # host factors invalidate the device front cache
+        if mfp is not None and not isinstance(mfp, str):
+            # host factors invalidate the device front cache
             mfp.__dict__.pop("_cache_tree", None)
         Lp, Li, Lx, Up, Ui, Ux, pinv = native.lu_numeric(
             n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol, s.lnz, s.unz

@@ -370,22 +370,46 @@ def _prep_factor_indices(plan: MFPlan):
             _prep_tail_dev(sp.tail)
 
 
-def _chol_mf_values(Cx, plan: MFPlan):
+def _collect_chol_dev(plan: MFPlan):
+    """Nested pytree of the factor-side index tensors (passed as jit args —
+    closure-captured jnp arrays are baked into executables as constants)."""
+    from .chol_device import CholPlan
+
+    dev = {
+        "buckets": [b.__dict__["_dev"] for b in plan.buckets],
+        "asm": plan.__dict__["_asm_dev"],
+        "map": plan.__dict__["_map_dev"],
+    }
+    sp = plan.skel_plan
+    if isinstance(sp, MFPlan):
+        dev["skel"] = _collect_chol_dev(sp)
+    else:
+        assert isinstance(sp, CholPlan)
+        dev["skel"] = {
+            "groups": list(sp.__dict__["_dev_groups"]),
+            "tail": (sp.tail.__dict__["_dev"] if sp.tail is not None
+                     else None),
+        }
+    return dev
+
+
+def _chol_mf_values(Cx, plan: MFPlan, dev):
     """Recursive core: factor given device values Cx of the plan's system.
     Returns (Lx_dev, dmins list, cache tree) — the cache tree carries the
     dense factors through the jit boundary for the zero-gather solves.
-    Requires _prep_factor_indices(plan) to have run (eagerly)."""
+    Requires _prep_factor_indices(plan) to have run (eagerly); `dev` is the
+    matching _collect_chol_dev tree."""
     from ._scan import run_grouped
     from .chol_device import CholPlan, _chol_step, _chol_tail_kernel
 
     Lx = jnp.zeros(plan.lnz + 1, dtype=Cx.dtype)
     Csx = jnp.zeros(plan.skel_cnnz + 1, dtype=Cx.dtype)
-    a_src, a_dst = plan.__dict__["_asm_dev"]
+    a_src, a_dst = dev["asm"]
     Csx = _skel_assemble(Csx, Cx, a_src, a_dst)
     dmins = []
     front_vals = []
-    for b in plan.buckets:
-        Lx, Csx, dmin, Lss, Lbs = _front_kernel(Lx, Csx, Cx, *b.__dict__["_dev"])
+    for bdev in dev["buckets"]:
+        Lx, Csx, dmin, Lss, Lbs = _front_kernel(Lx, Csx, Cx, *bdev)
         dmins.append(dmin)
         front_vals.append((Lss, Lbs))
 
@@ -393,7 +417,8 @@ def _chol_mf_values(Cx, plan: MFPlan):
     sp = plan.skel_plan
     tail_vals = None
     if isinstance(sp, MFPlan):  # recursive multifrontal layer
-        Lxs, dsub, sub_cache = _chol_mf_values(Csx[: plan.skel_cnnz], sp)
+        Lxs, dsub, sub_cache = _chol_mf_values(
+            Csx[: plan.skel_cnnz], sp, dev["skel"])
         dmins += dsub
     else:
         assert isinstance(sp, CholPlan)
@@ -401,25 +426,28 @@ def _chol_mf_values(Cx, plan: MFPlan):
         Lxs = jnp.zeros(sp.lnz + 1, dtype=Cx.dtype)
         Lxs, dgroups = run_grouped(sp.levels, _chol_step, Lxs,
                                    (Csx[: plan.skel_cnnz],),
-                                   sp.__dict__["_dev_groups"])
+                                   dev["skel"]["groups"])
         if sp.tail is not None:
             (*_, nlev, emax, wmax) = sp.tail.tri
             Lxs, dt, W, Ls = _chol_tail_kernel(
-                Lxs, Csx[: plan.skel_cnnz], *sp.tail.__dict__["_dev"],
+                Lxs, Csx[: plan.skel_cnnz], *dev["skel"]["tail"],
                 nlev=nlev, emax=emax, wmax=wmax, cut=sp.tail.cut)
             tail_vals = (W, Ls)
             dgroups = list(dgroups) + [dt]
         dmins += [jnp.min(jnp.atleast_1d(gq)) for gq in dgroups]
-    l_src, l_dst = plan.__dict__["_map_dev"]
+    l_src, l_dst = dev["map"]
     Lx = Lx.at[l_dst].set(Lxs[l_src], mode="drop")
     cache = (tuple(front_vals), Lxs, tail_vals, sub_cache)
     return Lx, dmins, cache
 
 
-# Above this many index-tensor entries the fused program exceeds what the
-# remote compile service accepts (constants are embedded in the MLIR blob);
-# run the cores eagerly (per-kernel launches) instead.
-FUSE_ENTRY_CAP = 8_000_000
+# Above this many index-tensor entries, fusing the whole factorization into
+# one launch stops paying off (compile time grows superlinearly). The cap
+# was 8M when index tensors were baked into the MLIR blob as constants; now
+# they flow in as jit ARGUMENTS (frontal_lu passes a dev tree; this module's
+# chol path still captures — its plans are far smaller), so the payload
+# limit no longer binds and launch-count amortization wins much further out.
+FUSE_ENTRY_CAP = 400_000_000
 
 
 def _plan_index_entries(plan: MFPlan) -> int:
@@ -441,20 +469,22 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
     _prep_factor_indices(plan)
     fuse = plan.__dict__.setdefault(
         "_fuse_ok", _plan_index_entries(plan) <= FUSE_ENTRY_CAP)
+    dev = _collect_chol_dev(plan)
     if fuse:
         fn = plan.__dict__.get("_factor_jit")
         if fn is None:
-            def run(Cx):
-                Lx, dmins, cache = _chol_mf_values(Cx, plan)
+            def run(Cx, dev):
+                Lx, dmins, cache = _chol_mf_values(Cx, plan, dev)
                 dmin = (jnp.min(jnp.stack(dmins)) if dmins
                         else jnp.asarray(1.0, Cx.dtype))
                 return Lx, dmin, cache
 
             fn = jax.jit(run)
             plan.__dict__["_factor_jit"] = fn
-        Lx, dmin, cache = fn(jnp.asarray(c.x[: c.nnz()]))
+        Lx, dmin, cache = fn(jnp.asarray(c.x[: c.nnz()]), dev)
     else:
-        Lx, dmins, cache = _chol_mf_values(jnp.asarray(c.x[: c.nnz()]), plan)
+        Lx, dmins, cache = _chol_mf_values(
+            jnp.asarray(c.x[: c.nnz()]), plan, dev)
         dmin = jnp.min(jnp.stack(dmins)) if dmins else 1.0
     if not float(dmin) > 0.0:
         # do NOT cache the garbage tree (mirrors lu_mf's invalidation): a

@@ -1,28 +1,28 @@
-"""Device LU: level-scheduled static-pivot factorization (GESP-style).
+"""Device LU, level-scheduled tier (static pivot + margin).
 
-The reference's left-looking LU (src/lib.rs:519-622) interleaves partial
-pivoting with the numeric solve, which makes the fill pattern runtime-
-dynamic — fundamentally at odds with XLA's static shapes. The TPU design
-follows the approach production distributed solvers use (SuperLU_DIST's
-GESP): pivot *statically* (diagonal pivoting over the fill-reducing
-ordering), which fixes L/U patterns ahead of time (native rt_lu_pattern),
-then factor on device as batched dense MXU operations over elimination
-levels:
+The PRIMARY device LU is the pivoting multifrontal path in
+factor/frontal_lu.py (row matching + in-front threshold pivoting + dense
+pivoted skeleton + driver-side iterative refinement); `lu_device` routes
+problems above `config.mf_min_n` there. This module keeps two pieces:
 
-  For column k with static offdiag-U rows B_k and offdiag-L rows L_k:
-      M z = a(B_k)          M = L(B_k,B_k) unit-lower  (dense tri solve)
-      u_kk = a(k) - L(k,B_k)·z
-      l = (a(L_k) - L(L_k,B_k) @ z) / u_kk             (dense matmul)
-  All columns in an elimination level are independent → one batched
-  `triangular_solve` + one batched matmul per level, gathers/scatters via
-  static index tensors built once per sparsity pattern.
+1. `build_lu_plan`/`_lu_step` — the level-scheduled static-pivot kernel
+   (GESP-style): with a fixed pivot order the L/U patterns are static
+   (native rt_lu_pattern), and each elimination level factors as one
+   batched dense `triangular_solve` + matmul:
+      For column k with static offdiag-U rows B_k and offdiag-L rows L_k:
+          M z = a(B_k)          M = L(B_k,B_k) unit-lower
+          u_kk = a(k) - L(k,B_k)·z
+          l = (a(L_k) - L(L_k,B_k) @ z) / u_kk
+   Used for mid-size problems below the multifrontal threshold and as the
+   innermost skeleton fallback when recursion bottoms out too large for
+   the dense pivoted block.
+2. The trailing-dense tail (`LUDenseTail`) shared with the skeleton path.
 
 The reference's tol rule (diagonal preferred iff |x[col]| >= tol·max|x|,
-src/lib.rs:587-589) is evaluated on device as a stability margin: if any
-column's static pivot violates it (i.e. the reference would have swapped
-rows), the factorization falls back to the host engine's reference-exact
-partial pivoting. Diagonally-dominant / well-ordered systems stay fully on
-device; adversarial ones stay correct.
+src/lib.rs:587-589) is evaluated on device as a stability margin: if a
+static pivot violates it, this tier falls back to the host engine's
+reference-exact partial pivoting (the multifrontal tier instead pivots on
+device and refines).
 """
 
 from __future__ import annotations

@@ -47,6 +47,7 @@ from ..ops.plan import col_ids
 __all__ = [
     "RowPartition", "partition_rows", "make_gaxpy_halo", "dist_gaxpy_halo",
     "HaloTriPlan", "halo_tri_plan", "dist_tri_solve_halo", "dist_lusol",
+    "dist_qrsol",
 ]
 
 
@@ -471,6 +472,60 @@ def dist_tri_solve_halo(t: Sprs, x, kind: int, mesh: Mesh,
     cl_b, cd_b, ep_b, er_b, ec_b, ed_b = _block_tables(p)
     out = fn(jnp.asarray(t.x[:nz]), cl_b, cd_b, ep_b, er_b, ec_b, ed_b, xs)
     return np.asarray(out).reshape(-1)[: t.n]
+
+
+def dist_qrsol(a: Sprs, b, mesh: Mesh, order: int = 0, axis: str = "model",
+               refine: int = 2):
+    """Distributed least-squares / minimum-norm solve via corrected
+    seminormal equations: R from the Cholesky of AᵀA (or AAᵀ), both
+    triangular sweeps as halo-sharded SPMD solves, f64 refinement on host
+    residuals. The single-chip `qrsol` keeps exact Householder semantics;
+    this is the multi-chip serving path (same solutions for the
+    well-conditioned systems CSNE+refinement covers)."""
+    from .. import ops
+    from ..factor import chol
+    from ..symbolic import schol
+
+    m, n = a.m, a.n
+    bb = np.asarray(b, dtype=np.float64)
+    at = ops.transpose(a)
+    g = ops.multiply(at, a) if m >= n else ops.multiply(a, at)
+    s = schol(g, order)
+    nm = chol(g, s)
+    lmat = nm.l
+    lmat.x = np.asarray(lmat.x)
+    pinv = np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None else None
+    k = g.n
+    p0 = halo_tri_plan(lmat, 0, mesh.shape[axis])
+    p2 = halo_tri_plan(lmat, 2, mesh.shape[axis])
+
+    def spd_solve(r):
+        z = np.zeros(k)
+        if pinv is not None:
+            z[pinv] = r
+        else:
+            z[:] = r
+        z = np.asarray(dist_tri_solve_halo(lmat, z, 0, mesh, axis, plan=p0))
+        z = np.asarray(dist_tri_solve_halo(lmat, z, 2, mesh, axis, plan=p2))
+        out = np.zeros(k)
+        if pinv is not None:
+            out[:] = z[pinv]
+        else:
+            out[:] = z
+        return out
+
+    if m >= n:
+        x = spd_solve(np.asarray(ops.gaxpy(at, list(bb), [0.0] * n)))
+        for _ in range(max(0, refine)):
+            r = bb - np.asarray(ops.gaxpy(a, list(x), [0.0] * m))
+            x = x + spd_solve(np.asarray(ops.gaxpy(at, list(r), [0.0] * n)))
+        return x
+    y = spd_solve(bb)
+    x = np.asarray(ops.gaxpy(at, list(y), [0.0] * n))
+    for _ in range(max(0, refine)):
+        r = bb - np.asarray(ops.gaxpy(a, list(x), [0.0] * m))
+        x = x + np.asarray(ops.gaxpy(at, list(spd_solve(r)), [0.0] * n))
+    return x
 
 
 def dist_lusol(a: Sprs, b, mesh: Mesh, order: int = 1, tol: float = 1e-6,

@@ -513,7 +513,15 @@ def cholsol_ir(a: Sprs, b, order: int = 0, factor_dtype: str = "float32",
 def _tri_solve(t: Sprs, x, kind: int, plan: Optional[TriPlan] = None):
     import jax.numpy as jnp
 
-    if config.backend == "host":
+    host = config.backend == "host"
+    if not host and config.latency_host_lnz > 0 and isinstance(t.x, np.ndarray):
+        # latency tier (see factor.chol): host-resident small factors solve
+        # fastest on the host engine when the device is a tunneled TPU
+        import jax as _jax
+
+        host = (_jax.default_backend() == "tpu"
+                and t.nnz() < config.latency_host_lnz)
+    if host:
         xv = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
         nz = t.nnz()
         fn = [native.lsolve_host, native.usolve_host, native.ltsolve_host, native.utsolve_host][kind]

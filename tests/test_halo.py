@@ -92,3 +92,28 @@ def test_dist_lusol_halo(mesh):
     xt = rng.standard_normal(n)
     x = dist_lusol(a2, dd @ xt, mesh, 1)
     assert np.abs(x - xt).max() < 1e-8
+
+
+def test_dist_qrsol_halo(mesh):
+    from rsparse_tpu.parallel.halo import dist_qrsol
+
+    rng = np.random.default_rng(5)
+    m, n = 220, 150
+    d = np.zeros((m, n))
+    for i in range(n):
+        d[i, i] = 5.0 + rng.random()
+    for _ in range(700):
+        i, j = rng.integers(0, m), rng.integers(0, n)
+        d[i, j] += rng.standard_normal()
+    a = rs.Sprs.new_from_vec([list(r_) for r_ in d])
+    b = rng.standard_normal(m)
+    x = dist_qrsol(a, b, mesh, 0)
+    want, *_ = np.linalg.lstsq(d, b, rcond=None)
+    assert np.abs(x - want).max() < 1e-8
+    # minimum-norm branch
+    dt = d.T
+    a2 = rs.Sprs.new_from_vec([list(r_) for r_ in dt])
+    b2 = rng.standard_normal(n)
+    x2 = dist_qrsol(a2, b2, mesh, 0)
+    want2 = np.linalg.pinv(dt) @ b2
+    assert np.abs(x2 - want2).max() < 1e-7
