@@ -582,6 +582,87 @@ def _pivoted_lu(M, valid, tol):
     return M, perm, worst
 
 
+def _pivoted_lu_single_blocked(M, theta, panel: int = 64):
+    """Right-looking blocked LU with threshold partial pivoting for ONE
+    dense [ns, ns] matrix (the compacted skeleton). The unblocked batched
+    kernel (`_pivoted_lu`) does ns sequential full-matrix rank-1 updates —
+    VPU-bound and the warm-path bottleneck at skeleton sizes; here only the
+    [R, panel] panel is touched per pivot step and the trailing update is
+    one MXU matmul per panel. Returns (packed LU, perm, worst ratio)."""
+    ft = M.dtype
+    ns = M.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ns,), 0)
+    perm = rows
+    worst = jnp.asarray(jnp.inf, ft)
+    for b0 in range(0, ns, panel):
+        pb = min(panel, ns - b0)
+        blk = jax.lax.dynamic_slice(M, (0, b0), (ns, pb))  # full-height panel
+
+        def step(c, carry):
+            M, blk, perm, worst = carry
+            gc = b0 + c
+            col = jax.lax.dynamic_index_in_dim(blk, c, axis=1, keepdims=False)
+            below_eq = rows >= gc
+            absb = jnp.where(below_eq, jnp.abs(col), -1.0)
+            colmax = jnp.max(absb)
+            diag = jnp.abs(jax.lax.dynamic_index_in_dim(col, gc, axis=0,
+                                                        keepdims=False))
+            pivrow = jnp.where(diag >= theta * colmax, gc,
+                               jnp.argmax(absb).astype(jnp.int32))
+            # swap rows gc <-> pivrow in M (full rows: left L + trailing),
+            # the panel copy, and perm
+            pz = jnp.zeros((), jnp.int32)
+            gc32 = jnp.asarray(gc, jnp.int32)
+            pr32 = jnp.asarray(pivrow, jnp.int32)
+            rowc_M = jax.lax.dynamic_slice(M, (gc32, pz), (1, ns))
+            rowp_M = jax.lax.dynamic_slice(M, (pr32, pz), (1, ns))
+            M = jax.lax.dynamic_update_slice(M, rowp_M, (gc32, pz))
+            M = jax.lax.dynamic_update_slice(M, rowc_M, (pr32, pz))
+            rowc_b = jax.lax.dynamic_slice(blk, (gc32, pz), (1, pb))
+            rowp_b = jax.lax.dynamic_slice(blk, (pr32, pz), (1, pb))
+            blk = jax.lax.dynamic_update_slice(blk, rowp_b, (gc32, pz))
+            blk = jax.lax.dynamic_update_slice(blk, rowc_b, (pr32, pz))
+            pc = perm[gc]
+            pp = perm[pivrow]
+            perm = perm.at[gc].set(pp).at[pivrow].set(pc)
+            # eliminate within the panel
+            col = jax.lax.dynamic_index_in_dim(blk, c, axis=1, keepdims=False)
+            piv = jax.lax.dynamic_index_in_dim(col, gc, axis=0, keepdims=False)
+            ratio = jnp.abs(piv) / jnp.maximum(colmax, 1e-300)
+            worst = jnp.minimum(worst, ratio)
+            below = rows > gc
+            safe = jnp.where(piv == 0, jnp.ones((), ft), piv)
+            l = jnp.where(below, col / safe, 0.0)
+            urow = jax.lax.dynamic_index_in_dim(blk, gc, axis=0,
+                                                keepdims=False)
+            cols_p = jax.lax.broadcasted_iota(jnp.int32, (pb,), 0)
+            u = jnp.where(cols_p > c, urow, 0.0)
+            blk = blk - l[:, None] * u[None, :]
+            blk = jax.lax.dynamic_update_index_in_dim(
+                blk, jnp.where(below, l, col), c, axis=1)
+            return M, blk, perm, worst
+
+        M, blk, perm, worst = jax.lax.fori_loop(
+            0, pb, step, (M, blk, perm, worst))
+        M = jax.lax.dynamic_update_slice(M, blk, (0, b0))
+        if b0 + pb < ns:
+            L11 = (jnp.tril(jax.lax.dynamic_slice(M, (b0, b0), (pb, pb)), -1)
+                   + jnp.eye(pb, dtype=ft))
+            A12 = jax.lax.dynamic_slice(M, (b0, b0 + pb),
+                                        (pb, ns - b0 - pb))
+            U12 = jax.lax.linalg.triangular_solve(
+                L11, A12, left_side=True, lower=True, unit_diagonal=True)
+            M = jax.lax.dynamic_update_slice(M, U12, (b0, b0 + pb))
+            L21 = jax.lax.dynamic_slice(M, (b0 + pb, b0), (ns - b0 - pb, pb))
+            M = jax.lax.dynamic_update_slice(
+                M,
+                jax.lax.dynamic_slice(M, (b0 + pb, b0 + pb),
+                                      (ns - b0 - pb, ns - b0 - pb))
+                - L21 @ U12,
+                (b0 + pb, b0 + pb))
+    return M, perm, worst
+
+
 @partial(jax.jit, donate_argnums=(0, 1, 2))
 def _lu_front_kernel(Lx, Ux, Csx, Ax, tol, valid, ass_pos, abr_pos, abc_pos,
                      lss_pos, lss_f, lss_r, lss_c,
@@ -864,14 +945,14 @@ def _lu_mf_values(Ax, plan: LUMFPlan, tolv, dev):
             Csx[: plan.skel_cnnz])
         # threshold 1.0 = plain partial pivoting (dense block: diagonal
         # preference buys no sparsity, so take the most stable pivot)
-        LUd, permd, worst = _pivoted_lu(
-            Sd[None], jnp.ones((1, ns), bool), jnp.asarray(1.0, Ax.dtype))
+        LUd, permd, worst = _pivoted_lu_single_blocked(
+            Sd, jnp.asarray(1.0, Ax.dtype))
         bads.append(jnp.any(worst == 0.0))
         margins.append(jnp.asarray(0.0, Ax.dtype))
         Lxs = jnp.concatenate(
-            [LUd[0].reshape(-1), jnp.ones((1,), Ax.dtype)])
+            [LUd.reshape(-1), jnp.ones((1,), Ax.dtype)])
         Uxs = Lxs
-        sub_cache = permd[0]
+        sub_cache = permd
     else:
         assert isinstance(sp, LUPlan)
         sub_cache = None

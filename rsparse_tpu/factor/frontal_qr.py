@@ -175,7 +175,6 @@ def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional[QRMFPlan]:
     nrows = np.zeros(nf, dtype=np.int64)
     cb = np.zeros(nf, dtype=np.int64)
     flev = np.zeros(nf, dtype=np.int64)
-    row_in = {}
     for fi_ in order:
         fi = int(fi_)
         mb = np.asarray(members[fi], dtype=np.int64)

@@ -462,3 +462,17 @@ def refine_step(a: Sprs, l: Sprs, X, B, mesh: Mesh,
         j(np.asarray(X, dtype=a.x.dtype)),
         j(np.asarray(B, dtype=a.x.dtype)),
     )
+
+
+# Halo-sharded layer (x sharded n/D, ppermute boundary exchange) — the
+# SURVEY §2.5 partition+halo design; see parallel/halo.py.
+from .halo import (  # noqa: E402,F401
+    RowPartition, partition_rows, make_gaxpy_halo, dist_gaxpy_halo,
+    HaloTriPlan, halo_tri_plan, dist_tri_solve_halo, dist_lusol, dist_qrsol,
+)
+
+__all__ += [
+    "RowPartition", "partition_rows", "make_gaxpy_halo", "dist_gaxpy_halo",
+    "HaloTriPlan", "halo_tri_plan", "dist_tri_solve_halo", "dist_lusol",
+    "dist_qrsol",
+]
