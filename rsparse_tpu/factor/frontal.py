@@ -442,12 +442,12 @@ def _chol_mf_values(Cx, plan: MFPlan, dev):
 
 
 # Above this many index-tensor entries, fusing the whole factorization into
-# one launch stops paying off (compile time grows superlinearly). The cap
-# was 8M when index tensors were baked into the MLIR blob as constants; now
-# they flow in as jit ARGUMENTS (frontal_lu passes a dev tree; this module's
-# chol path still captures — its plans are far smaller), so the payload
-# limit no longer binds and launch-count amortization wins much further out.
-FUSE_ENTRY_CAP = 400_000_000
+# one launch stops paying off: compile time through the remote service grows
+# superlinearly while the eager path's per-kernel launches already amortize
+# well (measured on lusol_6: fused warm 2.14 s vs eager warm 1.99 s, with a
+# multi-10-minute fused compile). Index tensors flow in as jit arguments
+# either way, so each individually-jitted kernel stays cacheable.
+FUSE_ENTRY_CAP = 8_000_000
 
 
 def _plan_index_entries(plan: MFPlan) -> int:

@@ -663,6 +663,16 @@ def _pivoted_lu_single_blocked(M, theta, panel: int = 64):
     return M, perm, worst
 
 
+@partial(jax.jit, static_argnames=("ns",))
+def _dense_skel_kernel(Cs, sr, sc, ns: int):
+    """One-launch dense skeleton factorization: scatter-assemble the compact
+    values into [ns, ns] and run the blocked full-partial-pivoting LU.
+    Threshold 1.0 = plain partial pivoting (a dense block gains no sparsity
+    from diagonal preference, so take the most stable pivot)."""
+    Sd = jnp.zeros((ns, ns), Cs.dtype).at[sr, sc].set(Cs)
+    return _pivoted_lu_single_blocked(Sd, jnp.asarray(1.0, Cs.dtype))
+
+
 @partial(jax.jit, donate_argnums=(0, 1, 2))
 def _lu_front_kernel(Lx, Ux, Csx, Ax, tol, valid, ass_pos, abr_pos, abc_pos,
                      lss_pos, lss_f, lss_r, lss_c,
@@ -939,14 +949,8 @@ def _lu_mf_values(Ax, plan: LUMFPlan, tolv, dev):
         # every not-yet-eliminated row, so the search is unrestricted and
         # the tol rule is satisfiable by construction (bad only if the
         # whole remaining column is zero = numerically singular).
-        ns = sp.ns
-        sr, sc = dev["skel"]
-        Sd = jnp.zeros((ns, ns), Ax.dtype).at[sr, sc].set(
-            Csx[: plan.skel_cnnz])
-        # threshold 1.0 = plain partial pivoting (dense block: diagonal
-        # preference buys no sparsity, so take the most stable pivot)
-        LUd, permd, worst = _pivoted_lu_single_blocked(
-            Sd, jnp.asarray(1.0, Ax.dtype))
+        LUd, permd, worst = _dense_skel_kernel(
+            Csx[: plan.skel_cnnz], *dev["skel"], ns=sp.ns)
         bads.append(jnp.any(worst == 0.0))
         margins.append(jnp.asarray(0.0, Ax.dtype))
         Lxs = jnp.concatenate(

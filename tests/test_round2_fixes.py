@@ -164,3 +164,22 @@ def test_chol_mf_not_pd_clears_cache():
     # a subsequent good solve repopulates and still works
     x2 = rs.cholsol(a, list(b), 0, sym=s)
     assert np.abs(np.asarray(x2) - np.asarray(x)).max() < 1e-8
+
+
+def test_dia_plan_cache_value_refresh():
+    from rsparse_tpu.ops.spmv import dia_plan_cached, spgemm_dia
+
+    t = rs.Trpl()
+    n = 300
+    for i in range(n):
+        t.append(i, i, 2.0)
+        if i + 1 < n:
+            t.append(i + 1, i, -1.0)
+    a = t.to_sprs()
+    c1 = spgemm_dia(a, a)
+    d1 = np.asarray(c1.to_dense())
+    # change VALUES only; the cached plan must refresh, not stale-reuse
+    a.x = a.x * 3.0
+    c2 = spgemm_dia(a, a)
+    d2 = np.asarray(c2.to_dense())
+    assert np.abs(d2 - 9.0 * d1).max() < 1e-9
