@@ -38,6 +38,14 @@ class Config:
     # Minimum n for the multifrontal device Cholesky path (factor/frontal);
     # below it, the plain level-batched kernel wins.
     mf_min_n: int = 1500
+    # Factor-value dtype for the multifrontal LU inside the refining solver
+    # drivers (lusol / lusol_multi). "auto" = float32 on TPU (native MXU/VPU
+    # speed — f64 is software-emulated on TPU), float64 elsewhere; the f64
+    # residual is recovered by the drivers' iterative refinement (classic
+    # mixed-precision direct solve, LAPACK dsgesv-style). Direct `lu()`
+    # calls always factor in the value dtype (f64) — only the drivers,
+    # which own a refinement loop, opt into f32.
+    lu_factor_dtype: str = "auto"
     # Latency tier (tunneled TPU only): Cholesky factors below this lnz run
     # the native host engine — through a remote-runtime tunnel the per-launch
     # latency (~15-20 ms) dwarfs the flops of small factors, and the

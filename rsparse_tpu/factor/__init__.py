@@ -62,10 +62,13 @@ def chol(a: Sprs, s: Symb) -> Nmrc:
     return nm
 
 
-def lu(a: Sprs, s: Symb, tol: float) -> Nmrc:
+def lu(a: Sprs, s: Symb, tol: float, *, mixed: bool = False) -> Nmrc:
     """(L,U,pinv) = lu(A) given `sqr` analysis (reference src/lib.rs:519-622).
 
-    Raises NoPivotError if no pivot can be found.
+    Raises NoPivotError if no pivot can be found. `mixed` is internal: the
+    refining solver drivers (lusol/lusol_multi) pass True to allow an f32
+    device factor (recovered to f64 by their refinement loop); direct
+    callers always get full-precision factors.
     """
     n = a.n
     host_tier = False
@@ -84,7 +87,7 @@ def lu(a: Sprs, s: Symb, tol: float) -> Nmrc:
             n, a.p, a.i[: a.nnz()], a.x[: a.nnz()], s.q, tol, s.lnz, s.unz
         )
     else:
-        Lp, Li, Lx, Up, Ui, Ux, pinv = lu_device(a, s, tol)
+        Lp, Li, Lx, Up, Ui, Ux, pinv = lu_device(a, s, tol, mixed=mixed)
     nm = Nmrc()
     nm.l = Sprs(int(Lp[n]), n, n, Lp, Li, None)
     nm.l.x = Lx  # may be device arrays (lazy host materialization)

@@ -566,7 +566,7 @@ def _pivoted_lu(M, valid, tol):
         piv = M[:, c, c]
         rc = jnp.take_along_axis(real_col, jnp.full((F, 1), c, jnp.int32),
                                  axis=1)[:, 0]
-        ratio = jnp.abs(piv) / jnp.maximum(colmax, 1e-300)
+        ratio = jnp.abs(piv) / jnp.maximum(colmax, jnp.finfo(ft).tiny)
         worst = jnp.minimum(worst, jnp.where(rc, ratio, jnp.inf))
         below = rows > c
         colc = M[:, :, c]
@@ -628,7 +628,7 @@ def _pivoted_lu_single_blocked(M, theta, panel: int = 64):
             # eliminate within the panel
             col = jax.lax.dynamic_index_in_dim(blk, c, axis=1, keepdims=False)
             piv = jax.lax.dynamic_index_in_dim(col, gc, axis=0, keepdims=False)
-            ratio = jnp.abs(piv) / jnp.maximum(colmax, 1e-300)
+            ratio = jnp.abs(piv) / jnp.maximum(colmax, jnp.finfo(ft).tiny)
             worst = jnp.minimum(worst, ratio)
             below = rows > gc
             safe = jnp.where(piv == 0, jnp.ones((), ft), piv)
@@ -918,9 +918,12 @@ def _collect_lu_dev(plan: LUMFPlan):
 
 def _lu_mf_values(Ax, plan: LUMFPlan, tolv, dev):
     """Recursive core: factor device values Ax of the plan's (permuted)
-    system. Returns (Lx, Ux, margins, bads, cache tree). Requires
-    _prep_lu_factor_indices(plan) to have run eagerly; `dev` is the
-    matching _collect_lu_dev tree."""
+    system. Returns (Lx, Ux, margins, bads, cache tree, perm_parts) where
+    perm_parts is the traversal-ordered list of flattened pivot perms — the
+    caller concatenates them so the host finalize pass needs ONE readback
+    instead of one per front bucket (each a full tunnel round-trip).
+    Requires _prep_lu_factor_indices(plan) to have run eagerly; `dev` is
+    the matching _collect_lu_dev tree."""
     from ._scan import run_grouped
     from .lu_device import LUPlan, _lu_step, _lu_tail_kernel
 
@@ -931,19 +934,22 @@ def _lu_mf_values(Ax, plan: LUMFPlan, tolv, dev):
     Csx = Csx.at[a_dst].add(Ax[a_src], mode="drop")
     margins, bads = [], []
     front_vals = []
+    perm_parts = []
     for bdev in dev["buckets"]:
         Lx, Ux, Csx, mg, bd, Lss, Uss, LB, UB, perm = _lu_front_kernel(
             Lx, Ux, Csx, Ax, tolv, *bdev)
         margins.append(mg)
         bads.append(bd)
         front_vals.append((Lss, Uss, LB, UB, perm))
+        perm_parts.append(perm.reshape(-1))
 
     sp = plan.skel_plan
     if isinstance(sp, LUMFPlan):  # recursive layer (skeleton is unpermuted)
-        Lxs, Uxs, m2, b2, sub_cache = _lu_mf_values(
+        Lxs, Uxs, m2, b2, sub_cache, sub_perms = _lu_mf_values(
             Csx[: plan.skel_cnnz], sp, tolv, dev["skel"])
         margins += m2
         bads += b2
+        perm_parts += sub_perms
     elif isinstance(sp, DenseSkelPlan):
         # dense skeleton: FULL partial pivoting — the pivot pool here is
         # every not-yet-eliminated row, so the search is unrestricted and
@@ -957,6 +963,7 @@ def _lu_mf_values(Ax, plan: LUMFPlan, tolv, dev):
             [LUd.reshape(-1), jnp.ones((1,), Ax.dtype)])
         Uxs = Lxs
         sub_cache = permd
+        perm_parts.append(permd.reshape(-1))
     else:
         assert isinstance(sp, LUPlan)
         sub_cache = None
@@ -982,39 +989,49 @@ def _lu_mf_values(Ax, plan: LUMFPlan, tolv, dev):
     # elim_inner placeholder (identity) — replaced by the host finalize pass
     cache = (tuple(front_vals), Lxs, Uxs, sub_cache,
              jnp.arange(len(plan.skel), dtype=jnp.int32))
-    return Lx, Ux, margins, bads, cache
+    return Lx, Ux, margins, bads, cache, perm_parts
 
 
-def _finalize_cache(plan: LUMFPlan, cache):
+def _finalize_cache(plan: LUMFPlan, cache, permh: np.ndarray, ofs: int = 0):
     """Host pass after a successful factorization: compose the per-front
     device pivot perms with the recursive skeleton perm.
 
-    Returns (elim, new_cache): elim[e] = pre-pivot k-row eliminated at step
-    e in this plan's space; new_cache carries the inner elimination map the
-    solve path needs to convert Ds (pre-pivot compact) to inner-elim order."""
+    `permh` is the single host readback of the concatenated perm_parts from
+    _lu_mf_values, consumed in the same traversal order via `ofs` (one
+    transfer instead of a ~17 ms tunnel round-trip per bucket).
+
+    Returns (elim, new_cache, ofs): elim[e] = pre-pivot k-row eliminated at
+    step e in this plan's space; new_cache carries the inner elimination map
+    the solve path needs to convert Ds (pre-pivot compact) to inner-elim
+    order."""
     n = plan.n
     elim = np.arange(n, dtype=np.int64)
     fronts, _Lxs, _Uxs, sub_cache, _ = cache
     for b, fv in zip(plan.buckets, fronts):
-        permh = np.asarray(fv[4])
         srow = b.srow
-        for t in range(srow.shape[0]):
+        F, spn = srow.shape
+        permh_b = permh[ofs : ofs + F * spn].reshape(F, spn)
+        ofs += F * spn
+        for t in range(F):
             valid = srow[t] < n
             s = int(valid.sum())
             if s == 0:
                 continue
             aa = int(srow[t, 0])
-            elim[aa : aa + s] = aa + permh[t, :s]
+            elim[aa : aa + s] = aa + permh_b[t, :s]
     if isinstance(plan.skel_plan, LUMFPlan):
-        inner, sub_cache = _finalize_cache(plan.skel_plan, sub_cache)
+        inner, sub_cache, ofs = _finalize_cache(
+            plan.skel_plan, sub_cache, permh, ofs)
     elif isinstance(plan.skel_plan, DenseSkelPlan):
-        inner = np.asarray(sub_cache, dtype=np.int64)  # dense pivot perm
+        ns = plan.skel_plan.ns
+        inner = permh[ofs : ofs + ns].astype(np.int64)  # dense pivot perm
+        ofs += ns
     else:
         inner = np.arange(len(plan.skel), dtype=np.int64)
     elim[plan.skel] = plan.skel[inner]
     new_cache = (fronts, _Lxs, _Uxs, sub_cache,
                  jnp.asarray(inner.astype(np.int32)))
-    return elim, new_cache
+    return elim, new_cache, ofs
 
 
 def _lu_plan_index_entries(plan: LUMFPlan) -> int:
@@ -1032,18 +1049,37 @@ def _lu_plan_index_entries(plan: LUMFPlan) -> int:
     return total
 
 
-def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
+def _lu_factor_dtype(mixed: bool):
+    """Factor-value dtype: f32 on TPU when the caller owns a refinement
+    loop (config.lu_factor_dtype="auto") — TPU f64 is software-emulated and
+    MXU-ineligible, so mixed precision is the speed-of-light configuration
+    (factor+solve in f32, residual recovered to f64 by refinement)."""
+    from ..config import config
+
+    if not mixed:
+        return None
+    ld = config.lu_factor_dtype
+    if ld == "auto":
+        return jnp.float32 if jax.default_backend() == "tpu" else None
+    if ld in ("", "float64", None):
+        return None
+    return jnp.dtype(ld)
+
+
+def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float, mixed: bool = False):
     """Run the pivoting multifrontal LU — fused into one launch when the
     plan is small enough for the compile pipeline, eagerly otherwise.
-    Returns a lu_device-style tuple (with composed pinv) or None when a
-    boundary row wins the pivot competition (host fallback)."""
+    (Fusing everything at lusol_6 scale was measured SLOWER warm — eager
+    launches pipeline through the tunnel — so the cap stays conservative;
+    see frontal.FUSE_ENTRY_CAP.)"""
     from .frontal import FUSE_ENTRY_CAP
 
     _prep_lu_factor_indices(plan)
     ax_host = a.x[: a.nnz()]
     if plan.vperm is not None:  # factorization runs on A(P, P)
         ax_host = ax_host[plan.vperm]
-    Ax = jnp.asarray(ax_host)
+    fdt = _lu_factor_dtype(mixed)
+    Ax = jnp.asarray(ax_host) if fdt is None else jnp.asarray(ax_host, fdt)
     tolv = jnp.asarray(float(tol), Ax.dtype)
     fuse = plan.__dict__.setdefault(
         "_fuse_ok", _lu_plan_index_entries(plan) <= FUSE_ENTRY_CAP)
@@ -1052,32 +1088,41 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float):
         fn = plan.__dict__.get("_factor_jit")
         if fn is None:
             def run(Ax, tolv, dev):
-                Lx, Ux, margins, bads, cache = _lu_mf_values(
+                Lx, Ux, margins, bads, cache, perms = _lu_mf_values(
                     Ax, plan, tolv, dev)
                 mg = (jnp.min(jnp.stack(margins)) if margins
                       else jnp.asarray(0.0, Ax.dtype))
                 bad = jnp.any(jnp.stack(bads)) if bads else jnp.asarray(False)
-                return Lx, Ux, mg, bad, cache
+                # one readback for both accept stats
+                stats = jnp.stack([mg, bad.astype(Ax.dtype)])
+                perm_cat = (jnp.concatenate(perms) if perms
+                            else jnp.zeros((0,), jnp.int32))
+                return Lx, Ux, stats, cache, perm_cat
 
             fn = jax.jit(run)
             plan.__dict__["_factor_jit"] = fn
-        Lx, Ux, mg, bad, cache = fn(Ax, tolv, dev)
+        Lx, Ux, stats, cache, perm_cat = fn(Ax, tolv, dev)
     else:
-        Lx, Ux, margins, bads, cache = _lu_mf_values(Ax, plan, tolv, dev)
-        mg = jnp.min(jnp.stack(margins)) if margins else 0.0
-        bad = jnp.any(jnp.stack(bads)) if bads else False
+        Lx, Ux, margins, bads, cache, perms = _lu_mf_values(
+            Ax, plan, tolv, dev)
+        mg = jnp.min(jnp.stack(margins)) if margins else jnp.zeros(())
+        bad = jnp.any(jnp.stack(bads)) if bads else jnp.zeros((), bool)
+        stats = jnp.stack([mg.astype(Ax.dtype), bad.astype(Ax.dtype)])
+        perm_cat = (jnp.concatenate(perms) if perms
+                    else jnp.zeros((0,), jnp.int32))
     # Accept unless a pivot is exactly zero or the element growth implied by
     # a dominating boundary row (worst = 1/max|L_B|) is beyond what the
     # solver drivers' iterative refinement can contract (growth*eps must be
     # well below 1; 1e10 leaves two orders of safety). The drivers verify
     # the actual residual and fall back to the host engine's exact global
     # pivoting if refinement diverges (solve._lu_mf_refine).
-    worst_min = float(mg) + float(tol)
-    if bool(bad) or not (worst_min >= 1e-10):
+    stats_h = np.asarray(stats)
+    worst_min = float(stats_h[0]) + float(tol)
+    if bool(stats_h[1]) or not (worst_min >= 1e-10):
         plan.__dict__.pop("_cache_tree", None)
         return None
-    # host finalize: compose pivot perms -> labels + pinv
-    elim, cache = _finalize_cache(plan, cache)
+    # host finalize: compose pivot perms -> labels + pinv (ONE perm readback)
+    elim, cache, _ = _finalize_cache(plan, cache, np.asarray(perm_cat))
     plan.__dict__["_cache_tree"] = cache
     einv = np.empty(plan.n, dtype=np.int64)
     einv[elim] = np.arange(plan.n)

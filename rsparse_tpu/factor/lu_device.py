@@ -321,7 +321,7 @@ def _unpivoted_lu_blocked(M, panel: int = 64):
             below = rows > c
             colmax = jnp.maximum(jnp.max(jnp.where(below, jnp.abs(colc), 0.0)),
                                  jnp.abs(piv))
-            worst = jnp.minimum(worst, jnp.abs(piv) / jnp.maximum(colmax, 1e-300))
+            worst = jnp.minimum(worst, jnp.abs(piv) / jnp.maximum(colmax, jnp.finfo(piv.dtype).tiny))
             safe = jnp.where(piv == 0, jnp.ones((), ft), piv)
             l = jnp.where(below, colc / safe, 0.0)
             urow = jax.lax.dynamic_index_in_dim(blk, c, axis=0, keepdims=False)
@@ -443,12 +443,14 @@ def _lu_step(carry, tensors, consts):
     return (Lx, Ux), (jnp.min(margin), jnp.any(bad))
 
 
-def lu_device(a: Sprs, s: Symb, tol: float):
+def lu_device(a: Sprs, s: Symb, tol: float, mixed: bool = False):
     """Device static-pivot LU with host partial-pivot fallback.
 
     Returns (Lp, Li, Lx, Up, Ui, Ux, pinv) like the host engine; pinv is
     identity when the static factorization is accepted. Large systems route
-    through the multifrontal path (factor/frontal_lu) first.
+    through the multifrontal path (factor/frontal_lu) first. `mixed` marks
+    a caller that owns an iterative-refinement loop (the solver drivers) —
+    it lets the MF factor run in f32 on TPU (config.lu_factor_dtype).
     """
     if a.n >= config.mf_min_n and not getattr(s, "_static_rejected", False):
         from .frontal_lu import build_lu_mf_plan, lu_mf
@@ -461,7 +463,7 @@ def lu_device(a: Sprs, s: Symb, tol: float):
                 mfp = None
             s._mf_lu_plan = mfp
         if mfp is not None:
-            out = lu_mf(a, s, mfp, tol)
+            out = lu_mf(a, s, mfp, tol, mixed=mixed)
             if out is not None:
                 return out
             # stability margin rejected static pivoting: remember so sym-

@@ -367,7 +367,7 @@ def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
 
     n = a.n
     s = sym if sym is not None else sqr(a, order, False)
-    nm = lu(a, s, tol)
+    nm = lu(a, s, tol, mixed=True)
     Bm = np.asarray(B, dtype=np.float64)
     X = np.zeros_like(Bm)
     if nm.pinv is not None:
@@ -648,7 +648,7 @@ def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6,
     with phase_timer("lusol.symbolic", nnz=a.nnz()):
         s = sym if sym is not None else sqr(a, order, False)
     with phase_timer("lusol.factor", nnz=a.nnz()):
-        nm = lu(a, s, tol)
+        nm = lu(a, s, tol, mixed=True)
     x = np.zeros(n, dtype=np.float64)
     bb = np.asarray(b, dtype=np.float64)
     with phase_timer("lusol.solve", nnz=s.lnz + s.unz):
@@ -682,15 +682,18 @@ def _host_spmm(a: Sprs, X: np.ndarray) -> np.ndarray:
 
 
 def _lu_mf_refine(a: Sprs, s, nm, mfp, B: np.ndarray, X: np.ndarray,
-                  steps: int = 2):
+                  steps: int = 6):
     """Iterative refinement against the f64 matrix for the device MF-LU.
 
     The device path pivots within fronts (threshold 0.1) instead of
-    reproducing the reference's exact global pivot sequence, so moderate
-    element growth is possible; one or two refinement steps with the cached
-    factor tree restore reference-level residuals. If refinement diverges
-    (extreme growth the margin did not catch), recompute through the host
-    engine's exact partial pivoting."""
+    reproducing the reference's exact global pivot sequence, and on TPU the
+    factor itself may be f32 (mixed precision — config.lu_factor_dtype), so
+    the first residual can sit near kappa*eps32. Refinement with the cached
+    factor tree contracts it to f64 levels (each step multiplies the error
+    by ~kappa*eps32); the loop exits early once converged or stagnant. If
+    refinement cannot reach 1e-10*scale (extreme growth or conditioning the
+    margin did not catch), recompute through the host engine's exact
+    partial pivoting."""
     from .factor.frontal_lu import solve_lu_mf
 
     n = a.n
@@ -699,9 +702,9 @@ def _lu_mf_refine(a: Sprs, s, nm, mfp, B: np.ndarray, X: np.ndarray,
     Bm = B[:, None] if single else B
     r = Bm - _host_spmm(a, Xm)
     scale = max(np.abs(Bm).max(), np.abs(Xm).max(), 1.0)
-    r0 = np.abs(r).max()
+    rmax = np.abs(r).max()
     for _ in range(max(0, steps)):
-        if np.abs(r).max() <= 1e-14 * scale:
+        if rmax <= 1e-14 * scale:
             break
         z = np.zeros_like(Xm)
         z[np.asarray(nm.pinv, dtype=np.int64)] = r
@@ -711,9 +714,13 @@ def _lu_mf_refine(a: Sprs, s, nm, mfp, B: np.ndarray, X: np.ndarray,
             upd[np.asarray(s.q, dtype=np.int64)] = dz
         else:
             upd[:] = dz
-        Xm = Xm + upd
-        r = Bm - _host_spmm(a, Xm)
-    if np.abs(r).max() > max(r0, 1e-8 * scale) and np.abs(r).max() > 1e-8 * scale:
+        X2 = Xm + upd
+        r2 = Bm - _host_spmm(a, X2)
+        r2max = np.abs(r2).max()
+        if r2max >= rmax:  # stagnated/diverging: keep the better iterate
+            break
+        Xm, r, rmax = X2, r2, r2max
+    if rmax > 1e-10 * scale:
         # refinement failed to converge: exact host fallback
         from .symbolic import native as _native
 

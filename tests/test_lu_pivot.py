@@ -158,3 +158,31 @@ def test_batched_lusol_multi_pivoting():
     B = d @ Xt
     X = rs.lusol_multi(a, B, 1)
     assert np.abs(X - Xt).max() < 1e-6
+
+
+def test_mixed_precision_f32_factor_refines_to_f64():
+    """TPU mixed precision (config.lu_factor_dtype): the driver factors in
+    f32 and iterative refinement recovers an f64-level residual — exercised
+    here on CPU by forcing the dtype (on CPU "auto" keeps f64)."""
+    from rsparse_tpu.config import config
+
+    d = _adversarial(n=2000, extra=6000, zeros=(17, 555), seed=11)
+    n = d.shape[0]
+    a = Sprs.new_from_vec([list(r) for r in d])
+    rng = np.random.default_rng(6)
+    xt = rng.standard_normal(n)
+    b = d @ xt
+    old = config.lu_factor_dtype
+    config.lu_factor_dtype = "float32"
+    try:
+        s = sqr(a, 1, False)
+        x = rs.lusol(a, list(b), 1, 1e-6, sym=s)
+        # the cached factor tree really is f32 (the mixed path ran)
+        mfp = s._mf_lu_plan
+        tree = mfp.__dict__.get("_cache_tree")
+        assert tree is not None and tree[1].dtype == np.float32
+    finally:
+        config.lu_factor_dtype = old
+    r = np.abs(d @ np.asarray(x) - b).max()
+    scale = max(1.0, np.abs(b).max())
+    assert r < 1e-10 * scale, f"refined residual {r}"
