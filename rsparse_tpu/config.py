@@ -46,6 +46,11 @@ class Config:
     # calls always factor in the value dtype (f64) — only the drivers,
     # which own a refinement loop, opt into f32.
     lu_factor_dtype: str = "auto"
+    # Same mixed-precision knob for the multifrontal Cholesky inside the
+    # refining `cholsol` driver. A spurious f32 NotPositiveDefinite (PD
+    # matrix whose f32 rounding turns a pivot negative) retries in f64
+    # before surfacing the error.
+    chol_factor_dtype: str = "auto"
     # Latency tier (tunneled TPU only): Cholesky factors below this lnz run
     # the native host engine — through a remote-runtime tunnel the per-launch
     # latency (~15-20 ms) dwarfs the flops of small factors, and the

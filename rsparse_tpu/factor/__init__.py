@@ -22,10 +22,13 @@ from .lu_device import lu_device
 __all__ = ["chol", "lu", "qr"]
 
 
-def chol(a: Sprs, s: Symb) -> Nmrc:
+def chol(a: Sprs, s: Symb, *, mixed: bool = False) -> Nmrc:
     """L = chol(A) given `schol` analysis (reference src/lib.rs:278-337).
 
-    Raises NotPositiveDefiniteError if A is not SPD.
+    Raises NotPositiveDefiniteError if A is not SPD. `mixed` is internal:
+    the refining `cholsol` driver passes True to allow an f32 device factor
+    (recovered to f64 by its refinement loop); a spurious f32 NotPD retries
+    in f64 before raising. Direct callers always get f64 factors.
     """
     from ..symbolic import _symperm_host
 
@@ -53,7 +56,16 @@ def chol(a: Sprs, s: Symb) -> Nmrc:
             mfp = build_mf_plan(c, s) if n >= config.mf_min_n else None
             s._mf_plan = mfp
         if mfp is not None:
-            Lp, Li, Lx = chol_mf(c, s, mfp)
+            from .frontal import _chol_factor_dtype
+
+            try:
+                Lp, Li, Lx = chol_mf(c, s, mfp, mixed=mixed)
+            except NotPositiveDefiniteError:
+                if not (mixed and _chol_factor_dtype(mixed) is not None):
+                    raise
+                # f32 rounding can push a near-zero pivot of a genuinely PD
+                # matrix negative — retry in full precision before raising
+                Lp, Li, Lx = chol_mf(c, s, mfp, mixed=False)
         else:
             Lp, Li, Lx = chol_device(c, s)
     nm = Nmrc()

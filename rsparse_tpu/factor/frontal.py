@@ -462,7 +462,23 @@ def _plan_index_entries(plan: MFPlan) -> int:
     return total
 
 
-def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
+def _chol_factor_dtype(mixed: bool):
+    """Factor-value dtype: f32 on TPU when the caller owns a refinement
+    loop (config.chol_factor_dtype="auto") — TPU f64 is software-emulated
+    and MXU-ineligible; see frontal_lu._lu_factor_dtype."""
+    from ..config import config
+
+    if not mixed:
+        return None
+    cd = config.chol_factor_dtype
+    if cd == "auto":
+        return jnp.float32 if jax.default_backend() == "tpu" else None
+    if cd in ("", "float64", None):
+        return None
+    return jnp.dtype(cd)
+
+
+def chol_mf(c: Sprs, s: Symb, plan: MFPlan, mixed: bool = False):
     """Run the multifrontal factorization — as ONE fused launch when the
     plan is small enough for the compile pipeline, eagerly otherwise.
     Returns (Lp, Li, Lx_host) and caches the solve tree on the plan."""
@@ -470,6 +486,9 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
     fuse = plan.__dict__.setdefault(
         "_fuse_ok", _plan_index_entries(plan) <= FUSE_ENTRY_CAP)
     dev = _collect_chol_dev(plan)
+    fdt = _chol_factor_dtype(mixed)
+    cx_host = c.x[: c.nnz()]
+    Cx = jnp.asarray(cx_host) if fdt is None else jnp.asarray(cx_host, fdt)
     if fuse:
         fn = plan.__dict__.get("_factor_jit")
         if fn is None:
@@ -481,10 +500,9 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan):
 
             fn = jax.jit(run)
             plan.__dict__["_factor_jit"] = fn
-        Lx, dmin, cache = fn(jnp.asarray(c.x[: c.nnz()]), dev)
+        Lx, dmin, cache = fn(Cx, dev)
     else:
-        Lx, dmins, cache = _chol_mf_values(
-            jnp.asarray(c.x[: c.nnz()]), plan, dev)
+        Lx, dmins, cache = _chol_mf_values(Cx, plan, dev)
         dmin = jnp.min(jnp.stack(dmins)) if dmins else 1.0
     if not float(dmin) > 0.0:
         # do NOT cache the garbage tree (mirrors lu_mf's invalidation): a

@@ -613,14 +613,15 @@ def cholsol(a: Sprs, b, order: int = 0, *, sym: Optional[Symb] = None):
     with phase_timer("cholsol.symbolic", nnz=a.nnz()):
         s = sym if sym is not None else schol(a, order)
     with phase_timer("cholsol.factor", nnz=s.lnz):
-        nm = chol(a, s)
+        nm = chol(a, s, mixed=True)
     x = np.zeros(n, dtype=np.float64)
     bb = np.asarray(b, dtype=np.float64)
     with phase_timer("cholsol.solve", nnz=2 * s.lnz):
         ops.ipvec(n, s.pinv, bb, x)  # x = P*b
         mfp = getattr(s, "_mf_plan", None)
-        if (mfp is not None and "_cache_tree" in mfp.__dict__
-                and config.backend != "host"):
+        mf_active = (mfp is not None and "_cache_tree" in mfp.__dict__
+                     and config.backend != "host")
+        if mf_active:
             from .factor.frontal import solve_mf
 
             x = solve_mf(mfp, x[:, None])[:, 0]
@@ -629,6 +630,8 @@ def cholsol(a: Sprs, b, order: int = 0, *, sym: Optional[Symb] = None):
             x = ltsolve(nm.l, x)  # x = L'\x
     out = np.zeros(n, dtype=np.float64)
     ops.pvec(n, s.pinv, x, out)  # b = P'*x
+    if mf_active and mfp.__dict__["_cache_tree"][1].dtype == np.float32:
+        out = _chol_mf_refine(a, s, mfp, bb, out)
     _writeback(b, out)
     return out
 
@@ -739,6 +742,58 @@ def _lu_mf_refine(a: Sprs, s, nm, mfp, B: np.ndarray, X: np.ndarray,
             ops.ipvec(n, s.q, xx, o)
             cols_out[:, k] = o
         Xm = cols_out
+    return Xm[:, 0] if single else Xm
+
+
+def _chol_mf_refine(a: Sprs, s, mfp, B: np.ndarray, X: np.ndarray,
+                    steps: int = 6):
+    """Iterative refinement for the mixed-precision (f32) MF Cholesky —
+    mirror of _lu_mf_refine with the cholsol permutation chain (x = P b,
+    solve, out = P' x; A symmetric, full-stored per the reference's cholsol
+    contract). Falls back to the host engine's f64 factorization if the f32
+    tree cannot reach an f64-level residual."""
+    from .factor.frontal import solve_mf
+
+    n = a.n
+    single = X.ndim == 1
+    Xm = X[:, None] if single else X
+    Bm = B[:, None] if single else B
+    pinv = np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None else None
+    r = Bm - _host_spmm(a, Xm)
+    scale = max(np.abs(Bm).max(), np.abs(Xm).max(), 1.0)
+    rmax = np.abs(r).max()
+    for _ in range(max(0, steps)):
+        if rmax <= 1e-14 * scale:
+            break
+        z = np.zeros_like(Xm)
+        if pinv is not None:
+            z[pinv] = r  # ipvec
+        else:
+            z[:] = r
+        dz = solve_mf(mfp, z)
+        upd = dz[pinv] if pinv is not None else dz  # pvec
+        X2 = Xm + upd
+        r2 = Bm - _host_spmm(a, X2)
+        r2max = np.abs(r2).max()
+        if r2max >= rmax:
+            break
+        Xm, r, rmax = X2, r2, r2max
+    if rmax > 1e-10 * scale:
+        # f32 factor cannot recover this system: host-exact f64 fallback
+        from .symbolic import native as _native
+
+        c = ops.symperm(a, s.pinv) if s.pinv is not None else a
+        Lp, Li, Lx = _native.chol_numeric(
+            n, c.p, c.i[: c.nnz()], c.x[: c.nnz()], s.parent, s.cp)
+        lmat = Sprs(len(Lx), n, n, Lp, Li, Lx)
+        for k in range(Xm.shape[1]):
+            xx = np.zeros(n)
+            ops.ipvec(n, s.pinv, Bm[:, k], xx)
+            xx = _tri_solve(lmat, xx, 0)
+            xx = _tri_solve(lmat, xx, 2)
+            o = np.zeros(n)
+            ops.pvec(n, s.pinv, xx, o)
+            Xm[:, k] = o
     return Xm[:, 0] if single else Xm
 
 

@@ -82,3 +82,62 @@ def test_mf_recursion_correct(monkeypatch):
     X = rs.cholsol_multi(a, B, 0, sym=s)
     R = np.abs(a.to_dense_np() @ X - B).max()
     assert R < 1e-9
+
+
+def test_mixed_precision_f32_chol_refines_to_f64():
+    """Mixed-precision cholsol (config.chol_factor_dtype): f32 MF factor +
+    f64 iterative refinement in the driver — forced on CPU here (on CPU
+    "auto" keeps f64)."""
+    from rsparse_tpu.config import config
+
+    a = _laplacian(48)
+    n = a.n
+    rng = np.random.default_rng(5)
+    xt = rng.standard_normal(n)
+    d_b = np.asarray(rs.gaxpy(a, list(xt), [0.0] * n))
+    old = config.chol_factor_dtype
+    config.chol_factor_dtype = "float32"
+    try:
+        s = rs.schol(a, 0)
+        x = rs.cholsol(a, list(d_b), 0, sym=s)
+        tree = s._mf_plan.__dict__.get("_cache_tree")
+        assert tree is not None and tree[1].dtype == np.float32
+    finally:
+        config.chol_factor_dtype = old
+    r = np.abs(np.asarray(rs.gaxpy(a, list(x), [0.0] * n)) - d_b).max()
+    assert r < 1e-10 * max(1.0, np.abs(d_b).max()), f"refined residual {r}"
+
+
+def test_mixed_f32_spurious_notpd_retries_f64(monkeypatch):
+    """A PD matrix that fails in f32 must still succeed via the f64 retry
+    (never a spurious NotPositiveDefiniteError from mixed precision)."""
+    from rsparse_tpu.config import config
+    import rsparse_tpu.factor.frontal as fr
+
+    a = _laplacian(48)
+    n = a.n
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(n)
+    calls = {"n": 0}
+    orig = fr.chol_mf
+
+    def spy(c, s, plan, mixed=False):
+        calls["n"] += 1
+        if mixed and calls["n"] == 1:
+            from rsparse_tpu.errors import NotPositiveDefiniteError
+
+            plan.__dict__.pop("_cache_tree", None)
+            raise NotPositiveDefiniteError()
+        return orig(c, s, plan, mixed=mixed)
+
+    monkeypatch.setattr(fr, "chol_mf", spy)
+    monkeypatch.setattr("rsparse_tpu.factor.chol_mf", spy, raising=False)
+    old = config.chol_factor_dtype
+    config.chol_factor_dtype = "float32"
+    try:
+        x = rs.cholsol(a, list(b), 0)
+    finally:
+        config.chol_factor_dtype = old
+    assert calls["n"] >= 2  # f32 attempt + f64 retry
+    r = np.abs(np.asarray(rs.gaxpy(a, x, [0.0] * n)) - b).max()
+    assert r < 1e-9
