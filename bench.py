@@ -12,6 +12,8 @@ The `extra` field carries the kernel metrics:
   - spmv_general_nnz_per_s fully random pattern (one-hot-MXU kernel) vs
                            C++ gaxpy on the SAME random matrix
   - spgemm_nnz_per_s       banded SpGEMM vs C++ Gustavson (rt_multiply)
+  - spgemm_general_nnz_per_s fully random pattern SpGEMM (one-hot-MXU ESC
+                           kernel) vs C++ Gustavson on the SAME matrices
   - cholsol_wall_s         warm cholsol_7 (4000^2 SPD) vs C++ chol engine
 
 Timing notes:
@@ -223,6 +225,57 @@ def bench_spmv_general(jax, jnp, native):
     return nnz / dev_t, nnz / best_cpu
 
 
+def bench_spgemm_general(jax, jnp, native):
+    """Arbitrary-pattern SpGEMM (one-hot-MXU ESC kernel, device-resident)
+    vs the C++ Gustavson loop on the SAME fully random matrices."""
+    from rsparse_tpu.data import Sprs
+    from rsparse_tpu.ops.spgemm_general import (
+        mxu_spgemm_plan, spgemm_general_fn)
+
+    n = 1 << 18
+    Ap, Ai, Ax = rand_csc(n, n, 1_300_000, seed=0)
+    Bp, Bi, Bx = rand_csc(n, n, 1_300_000, seed=1)
+    anz, bnz = len(Ax), len(Bx)
+    A = Sprs(anz, n, n, Ap, Ai, Ax)
+    B = Sprs(bnz, n, n, Bp, Bi, Bx)
+
+    def cpp():
+        return native.multiply_host(n, n, Ap, Ai, Ax, n, Bp, Bi, Bx)
+
+    Cp, Ci, Cx = cpp()
+    nnzC = len(Cx)
+    t_cpp = min(_t(cpp) for _ in range(3))
+
+    plan = mxu_spgemm_plan(A, B)
+    f = spgemm_general_fn(plan)
+    axd = jnp.asarray(Ax, np.float32)
+    bxd = jnp.asarray(Bx, np.float32)
+    # exactness of placement + f32 values vs the host ESC oracle
+    from rsparse_tpu.ops.plan import spgemm_plan
+
+    base = spgemm_plan(A, B)
+    want = np.zeros(base.nnz)
+    np.add.at(want, base.seg, Ax[base.a_idx] * Bx[base.b_idx])
+    got = np.asarray(f(axd, bxd), np.float64)
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-4, err
+    iters = 5
+
+    @jax.jit
+    def chain(av, bv):
+        def body(_, cur):
+            c = f(cur, bv)
+            return av * (1.0 + 0.0 * c[0])
+
+        return f(jax.lax.fori_loop(0, iters, body, av), bv)
+
+    float(jnp.sum(chain(axd, bxd)))
+    t0 = time.perf_counter()
+    float(jnp.sum(chain(axd, bxd)))
+    t_dev = (time.perf_counter() - t0) / (iters + 1)
+    return nnzC / t_dev, nnzC / t_cpp
+
+
 def bench_spgemm(rs, native, jax, jnp):
     """Device-resident DIA SpGEMM kernel (serving setting: operands and
     product live in HBM; one checksum readback ends the dependent chain)
@@ -303,6 +356,9 @@ def main():
     gen_dev, gen_cpu = bench_spmv_general(jax, jnp, native)
     extra["spmv_general_nnz_per_s"] = round(gen_dev, 1)
     extra["spmv_general_vs_cpp"] = round(gen_dev / gen_cpu, 3)
+    sgg_dev, sgg_cpp = bench_spgemm_general(jax, jnp, native)
+    extra["spgemm_general_nnz_per_s"] = round(sgg_dev, 1)
+    extra["spgemm_general_vs_cpp"] = round(sgg_dev / sgg_cpp, 3)
 
     print(json.dumps({
         "metric": "lusol_wall_s",

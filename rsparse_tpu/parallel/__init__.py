@@ -208,20 +208,40 @@ def dist_spgemm(a: Sprs, b: Sprs, mesh: Mesh, axis: str = "model") -> Sprs:
     E = len(p.seg)
     chunk = max(1, -(-E // D))
     Ep = chunk * D
-    av = a.x[: a.nnz()][p.a_idx] if E else np.zeros(0, a.x.dtype)
-    bv = b.x[: b.nnz()][p.b_idx] if E else np.zeros(0, b.x.dtype)
-    prod = np.zeros(Ep, dtype=a.x.dtype)
-    prod[:E] = av * bv
-    seg = np.full(Ep, nz, dtype=np.int32)  # pad -> dropped garbage slot
-    seg[:E] = p.seg
+    # expansion stream sharded as STATIC INDEX tensors; the value gathers,
+    # products, and partial segment-sums all run on device (the host's only
+    # O(E) work is the cached pattern plan) — each chip touches E/D products
+    key = (id(p), id(mesh), axis)
+    cached = _SPGEMM_CACHE.get(key)
+    if cached is None:
+        aiv = np.zeros(Ep, dtype=np.int64)
+        biv = np.zeros(Ep, dtype=np.int64)
+        seg = np.full(Ep, nz, dtype=np.int64)  # pad -> dropped garbage slot
+        aiv[:E] = p.a_idx
+        biv[:E] = p.b_idx
+        seg[:E] = p.seg
 
-    def shard(pv, sv):
-        part = jax.ops.segment_sum(pv, sv, num_segments=nz + 1)
-        return jax.lax.psum(part, axis)
+        def shard(ax, bx, ai, bi, sv):
+            pv = ax[ai] * bx[bi]
+            part = jax.ops.segment_sum(pv, sv, num_segments=nz + 1)
+            return jax.lax.psum(part, axis)
 
-    fn = shard_map(shard, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P())
-    cx = np.asarray(jax.jit(fn)(jnp.asarray(prod), jnp.asarray(seg)))[:p.nnz]
+        fn = jax.jit(shard_map(
+            shard, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis)), out_specs=P()))
+        if len(_SPGEMM_CACHE) > 64:
+            _SPGEMM_CACHE.clear()
+        cached = _SPGEMM_CACHE.setdefault(
+            key, (fn, jnp.asarray(aiv), jnp.asarray(biv), jnp.asarray(seg)))
+    fn, aiv_d, biv_d, seg_d = cached
+    ax_h = a.x[: a.nnz()] if a.nnz() else np.zeros(1, np.float64)
+    bx_h = b.x[: b.nnz()] if b.nnz() else np.zeros(1, np.float64)
+    cx = np.asarray(fn(jnp.asarray(ax_h), jnp.asarray(bx_h),
+                       aiv_d, biv_d, seg_d))[: p.nnz]
     return Sprs(p.nnz, p.m, p.n, p.out_p, p.out_i, cx)
+
+
+_SPGEMM_CACHE: dict = {}
 
 
 # ---------------------------------------------------------------------------
