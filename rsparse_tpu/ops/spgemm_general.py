@@ -167,12 +167,14 @@ def mxu_spgemm_plan(a: Sprs, b: Sprs, ch_size: int = 128,
 @functools.lru_cache(maxsize=32)
 def _mxu_spgemm_kernel(na: int, nb: int, nc: int, ch_size: int, g: int,
                        nsteps: int, anz: int, bnz: int, nnzc: int,
-                       dtype_name: str):
+                       dtype_name: str, precision: str = "highest"):
     import jax
     import jax.numpy as jnp
 
     dt = jnp.dtype(dtype_name)
-    hi = jax.lax.Precision.HIGHEST  # see spmv_general._mxu_kernel
+    # see spmv_general._mxu_kernel for the precision tradeoff
+    hi = (jax.lax.Precision.HIGHEST if precision == "highest"
+          else jax.lax.Precision.HIGH)
 
     @jax.jit
     def run(ax, bx, abid, bbid, cbid, ah, al, bh, bl, ch, cl):
@@ -209,17 +211,19 @@ def _mxu_spgemm_kernel(na: int, nb: int, nc: int, ch_size: int, g: int,
     return run
 
 
-def spgemm_general_fn(plan: MxuSpgemmPlan, dtype: str = "float32"):
+def spgemm_general_fn(plan: MxuSpgemmPlan, dtype: str = "float32",
+                      precision: str = "highest"):
     """Return jit-compatible `f(ax_dev, bx_dev) -> Cx` for the plan.
 
     Device-resident: both operands' value arrays stay in HBM; only the
-    static index tensors ship once per plan.
+    static index tensors ship once per plan. `precision="high"` trades
+    exactness for ~1.8x matmul speed (see spmv_general._mxu_kernel).
     """
     import jax.numpy as jnp
 
     kern = _mxu_spgemm_kernel(
         plan.na, plan.nb, plan.nc, plan.ch_size, plan.g, plan.nsteps,
-        plan.anz, plan.bnz, plan.nnz, dtype)
+        plan.anz, plan.bnz, plan.nnz, dtype, precision)
     idx = [jnp.asarray(t) for t in (plan.abid, plan.bbid, plan.cbid, plan.ah,
                                     plan.al, plan.bh, plan.bl, plan.ch,
                                     plan.cl)]

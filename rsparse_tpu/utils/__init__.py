@@ -5,7 +5,7 @@ verified in SURVEY.md §5); they are new, first-class subsystems here.
 """
 
 from .profiling import phase_timer, profile_trace, sanitize, get_metrics, reset_metrics
-from .checkpoint import save_symbolic, load_symbolic
+from .checkpoint import save_symbolic, load_symbolic, save_factor, load_factor
 
 __all__ = [
     "phase_timer",
@@ -15,4 +15,6 @@ __all__ = [
     "reset_metrics",
     "save_symbolic",
     "load_symbolic",
+    "save_factor",
+    "load_factor",
 ]

@@ -1,0 +1,118 @@
+"""Property-based randomized cross-checks against dense numpy oracles.
+
+The reference's suite is example-based (SURVEY.md §4); this module sweeps
+randomized matrices through every solver and checks against
+numpy.linalg on the densified operand — catching pattern-dependent bugs
+the fixed assets can't. Seeds are fixed for reproducibility.
+"""
+
+import numpy as np
+import pytest
+
+import rsparse_tpu as rs
+
+
+def _rand_square(rng, n, dens):
+    d = (rng.random((n, n)) < dens) * rng.standard_normal((n, n))
+    np.fill_diagonal(d, d.diagonal() + 3.0 + rng.random(n))  # nonsingular
+    return d
+
+
+@pytest.mark.parametrize("seed,n,dens", [
+    (0, 25, 0.15), (1, 60, 0.08), (2, 90, 0.05), (3, 40, 0.3), (4, 8, 0.6),
+])
+@pytest.mark.parametrize("order", [-1, 1])
+def test_lusol_random(seed, n, dens, order):
+    rng = np.random.default_rng(seed)
+    d = _rand_square(rng, n, dens)
+    a = rs.Sprs.new_from_vec(d.tolist())
+    b = rng.standard_normal(n)
+    x = rs.lusol(a, list(b), order, 1e-12)
+    want = np.linalg.solve(d, b)
+    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("seed,n,dens", [(0, 30, 0.1), (1, 70, 0.06),
+                                         (2, 50, 0.15)])
+@pytest.mark.parametrize("order", [-1, 0])
+def test_cholsol_random_spd(seed, n, dens, order):
+    rng = np.random.default_rng(100 + seed)
+    m_ = (rng.random((n, n)) < dens) * rng.standard_normal((n, n))
+    d = m_ @ m_.T + np.eye(n) * (n * 0.5)  # SPD
+    a = rs.Sprs.new_from_vec(d.tolist())
+    b = rng.standard_normal(n)
+    x = rs.cholsol(a, list(b), order)
+    want = np.linalg.solve(d, b)
+    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-7, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed,m,n", [(0, 40, 25), (1, 80, 30), (2, 33, 32)])
+def test_qrsol_random_least_squares(seed, m, n):
+    """Overdetermined branch (reference src/lib.rs:931-942): the solution
+    minimizes ||Ax - b||, so it must match numpy lstsq."""
+    rng = np.random.default_rng(200 + seed)
+    d = (rng.random((m, n)) < 0.3) * rng.standard_normal((m, n))
+    d[np.arange(n), np.arange(n)] += 2.0  # full column rank
+    a = rs.Sprs.new_from_vec(d.tolist())
+    b = rng.standard_normal(m)
+    x = rs.qrsol(a, list(b) + [0.0] * 0, 2)
+    want = np.linalg.lstsq(d, b, rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x)[:n], want, rtol=1e-7, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed,m,n", [(0, 20, 35), (1, 25, 60)])
+def test_qrsol_random_minimum_norm(seed, m, n):
+    """Underdetermined branch (src/lib.rs:943-955): A x = b exactly with x
+    the minimum-norm solution (= pinv(A) b for full row rank)."""
+    rng = np.random.default_rng(300 + seed)
+    d = (rng.random((m, n)) < 0.4) * rng.standard_normal((m, n))
+    d[np.arange(m), np.arange(m)] += 2.0  # full row rank
+    a = rs.Sprs.new_from_vec(d.tolist())
+    b = rng.standard_normal(m)
+    x = rs.qrsol(a, list(b) + [0.0] * (n - m), 2)
+    want = np.linalg.pinv(d) @ b
+    np.testing.assert_allclose(np.asarray(x)[:n], want, rtol=1e-7, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ops_random_algebra(seed):
+    """(alpha A + beta B), A@B, A', 1-norm vs dense numpy on one seed."""
+    rng = np.random.default_rng(400 + seed)
+    m, k, n = 30, 45, 20
+    da = (rng.random((m, k)) < 0.2) * rng.standard_normal((m, k))
+    db = (rng.random((k, n)) < 0.2) * rng.standard_normal((k, n))
+    dc = (rng.random((m, k)) < 0.2) * rng.standard_normal((m, k))
+    a = rs.Sprs.new_from_vec(da.tolist())
+    b = rs.Sprs.new_from_vec(db.tolist())
+    c = rs.Sprs.new_from_vec(dc.tolist())
+    np.testing.assert_allclose(np.asarray(rs.multiply(a, b).to_dense()),
+                               da @ db, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rs.add(a, c, 2.0, -0.5).to_dense()),
+                               2.0 * da - 0.5 * dc, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rs.transpose(a).to_dense()),
+                               da.T, rtol=0, atol=0)
+    assert abs(rs.norm(a) - np.abs(da).sum(axis=0).max()) < 1e-12
+    x = rng.standard_normal(k)
+    y = rng.standard_normal(m)
+    np.testing.assert_allclose(np.asarray(rs.gaxpy(a, list(x), list(y))),
+                               da @ x + y, rtol=1e-12, atol=1e-12)
+
+
+def test_lusol_singular_raises():
+    n = 12
+    rng = np.random.default_rng(7)
+    d = rng.standard_normal((n, n))
+    d[:, 4] = 0.0  # structurally singular column
+    a = rs.Sprs.new_from_vec(d.tolist())
+    with pytest.raises(rs.NoPivotError):
+        rs.lusol(a, [1.0] * n, 1, 1e-12)
+
+
+def test_cholsol_indefinite_raises():
+    n = 10
+    rng = np.random.default_rng(8)
+    m_ = rng.standard_normal((n, n))
+    d = m_ @ m_.T - np.eye(n) * 50.0  # indefinite
+    a = rs.Sprs.new_from_vec(d.tolist())
+    with pytest.raises(rs.NotPositiveDefiniteError):
+        rs.cholsol(a, [1.0] * n, 0)

@@ -76,3 +76,49 @@ def test_symbolic_checkpoint_then_mf_factor():
     r = np.abs(np.asarray(rs.gaxpy(a, list(x1), [0.0] * n)) - b).max()
     assert r < 1e-9
     os.remove(path)
+
+
+def test_factor_checkpoint_roundtrip(tmp_path):
+    """save_factor/load_factor: a restored LU Nmrc solves without
+    refactorizing (serving restart scenario)."""
+    from rsparse_tpu.utils import load_factor, save_factor
+
+    a = rs.Sprs.new_from_file(f"{ASSETS}/lusol_3.sprs")
+    s = rs.sqr(a, 1, False)
+    nm = rs.lu(a, s, 1e-12)
+    p = str(tmp_path / "factor.npz")
+    save_factor(nm, p)
+    nm2 = load_factor(p)
+    assert nm2.l.nnz() == nm.l.nnz() and nm2.u.nnz() == nm.u.nnz()
+    np.testing.assert_array_equal(np.asarray(nm2.pinv),
+                                  np.asarray(nm.pinv))
+    # reference lusol composition (src/lib.rs:672-683) with restored factors
+    b = np.linspace(0.5, 1.5, a.n)
+    x = np.zeros(a.n)
+    rs.ipvec(a.n, nm2.pinv, b, x)
+    x = rs.lsolve(nm2.l, x)
+    x = rs.usolve(nm2.u, x)
+    out = np.zeros(a.n)
+    rs.ipvec(a.n, s.q, x, out)
+    resid = np.asarray(rs.gaxpy(a, list(out), [0.0] * a.n)) - b
+    assert np.abs(resid).max() < 1e-8
+
+
+def test_factor_checkpoint_qr(tmp_path):
+    """QR Nmrc (V/R/beta) round-trips including the beta vector."""
+    from rsparse_tpu.utils import load_factor, save_factor
+
+    a = rs.Sprs.new_from_file(f"{ASSETS}/qrsol_5.sprs")
+    s = rs.sqr(a, 2, True)
+    nm = rs.qr(a, s)
+    p = str(tmp_path / "qrf.npz")
+    save_factor(nm, p)
+    nm2 = load_factor(p)
+    np.testing.assert_allclose(np.asarray(nm2.b), np.asarray(nm.b),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(nm2.l.x[: nm2.l.nnz()]),
+                               np.asarray(nm.l.x[: nm.l.nnz()]),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(nm2.u.x[: nm2.u.nnz()]),
+                               np.asarray(nm.u.x[: nm.u.nnz()]),
+                               rtol=0, atol=0)
