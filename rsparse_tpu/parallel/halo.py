@@ -172,7 +172,21 @@ def dist_gaxpy_halo(rp: RowPartition, x, y, mesh: Mesh, axis: str = "model"):
     yp = _shard_vec(np.asarray(y, rp.vals.dtype), rp)
     r = fn(jnp.asarray(rp.vals), jnp.asarray(rp.rows), jnp.asarray(rp.cols),
            xp, yp)
-    return np.asarray(r).reshape(-1)[: rp.m]
+    return _fetch(r).reshape(-1)[: rp.m]
+
+
+def _fetch(r) -> np.ndarray:
+    """Read a device result back to host numpy.
+
+    Under multi-process SPMD (jax.distributed: one process per host, the
+    SURVEY §5 pod-slice runtime) a sharded output spans devices this
+    process cannot address, so the shards are allgathered across processes
+    first; single-process arrays read back directly."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(r, tiled=True))
+    return np.asarray(r)
 
 
 def _shard_vec(v: np.ndarray, rp: RowPartition):
@@ -471,7 +485,7 @@ def dist_tri_solve_halo(t: Sprs, x, kind: int, mesh: Mesh,
     xs = _shard_vec(np.asarray(x, np.float64), rp_dummy)
     cl_b, cd_b, ep_b, er_b, ec_b, ed_b = _block_tables(p)
     out = fn(jnp.asarray(t.x[:nz]), cl_b, cd_b, ep_b, er_b, ec_b, ed_b, xs)
-    return np.asarray(out).reshape(-1)[: t.n]
+    return _fetch(out).reshape(-1)[: t.n]
 
 
 def dist_qrsol(a: Sprs, b, mesh: Mesh, order: int = 0, axis: str = "model",

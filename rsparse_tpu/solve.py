@@ -816,18 +816,24 @@ def _qr_mf_try(a: Sprs, s: Symb):
     return plan
 
 
-def qrsol(a: Sprs, b, order: int = 2):
+def qrsol(a: Sprs, b, order: int = 2, *, sym: Optional[Symb] = None):
     """x = A\\b via QR; handles overdetermined (least-squares) and
     underdetermined (minimum-norm via QR of A') systems
     (reference src/lib.rs:927-956). At scale both branches run through the
-    multifrontal device tree (factor/frontal_qr.py)."""
+    multifrontal device tree (factor/frontal_qr.py).
+
+    `sym` (TPU extension, matching lusol/cholsol): reuse a previous
+    analysis across solves with the same sparsity pattern — pass
+    `sqr(a, order, True)` when m >= n, or `sqr(transpose(a), order, True)`
+    for the underdetermined branch (the analysis is of A' there).
+    """
     from .factor import qr
     from .symbolic import sqr
 
     n, m = a.n, a.m
     bb = np.asarray(b, dtype=np.float64)
     if m >= n:
-        s = sqr(a, order, True)
+        s = sym if sym is not None else sqr(a, order, True)
         mfq = _qr_mf_try(a, s)
         if mfq is not None:
             from .factor.frontal_qr import qrsol_mf_ls
@@ -847,7 +853,7 @@ def qrsol(a: Sprs, b, order: int = 2):
         ops.ipvec(n, s.q, x, out)  # b(0:n-1) = Q*x
     else:
         at = ops.transpose(a)  # underdetermined: QR of A'
-        s = sqr(at, order, True)
+        s = sym if sym is not None else sqr(at, order, True)
         mfq = _qr_mf_try(at, s)
         if mfq is not None:
             from .factor.frontal_qr import qrsol_mf_mn

@@ -141,3 +141,28 @@ def test_allsol_2_large_cross_agreement():
     assert_eq_f_vec(x_lu, x_qr, 1e-1)
     assert_eq_f_vec(rs.gaxpy(a, x_qr, [0.0] * a.m), b, 1e-12)
     assert_eq_f_vec(rs.gaxpy(a, x_lu, [0.0] * a.m), b, 1e-12)
+
+
+def test_qrsol_sym_reuse():
+    """qrsol(sym=) matches the fresh-analysis result for both branches."""
+    import rsparse_tpu as rs
+    from rsparse_tpu.symbolic import sqr
+
+    a = rs.Sprs.new_from_file(f"{ASSETS}/qrsol_5.sprs")
+    b = list(np.linspace(0.3, 1.7, a.m))
+    want = np.asarray(rs.qrsol(a, list(b), 2))
+    s = sqr(a, 2, True)
+    for _ in range(2):  # second call reuses the cached device plans
+        got = np.asarray(rs.qrsol(a, list(b), 2, sym=s))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-10)
+
+    # underdetermined: analysis of A'
+    rng = np.random.default_rng(5)
+    d = (rng.random((12, 20)) < 0.4) * rng.standard_normal((12, 20))
+    d[np.arange(12), np.arange(12)] += 2.0
+    aw = rs.Sprs.new_from_vec(d.tolist())
+    bw = list(rng.standard_normal(12))
+    want_w = np.asarray(rs.qrsol(aw, list(bw) + [0.0] * 8, 2))
+    sw = sqr(rs.transpose(aw), 2, True)
+    got_w = np.asarray(rs.qrsol(aw, list(bw) + [0.0] * 8, 2, sym=sw))
+    np.testing.assert_allclose(got_w, want_w, rtol=0, atol=1e-10)
