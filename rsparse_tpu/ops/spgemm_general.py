@@ -49,7 +49,7 @@ from ..data import Sprs
 from . import plan as _plan
 
 __all__ = ["MxuSpgemmPlan", "mxu_spgemm_plan", "spgemm_general",
-           "spgemm_general_fn"]
+           "spgemm_general_fn", "spgemm_general_dist"]
 
 _LANE = 128
 _SUB = _LANE * _LANE  # 16384-entry subtables, viewed [128, 128]
@@ -232,6 +232,91 @@ def spgemm_general_fn(plan: MxuSpgemmPlan, dtype: str = "float32",
         return kern(ax, bx, *idx)
 
     return f
+
+
+def spgemm_general_dist(a: Sprs, b: Sprs, mesh, axis: str = "model",
+                        dtype: str = "float32") -> Sprs:
+    """SPMD C = A @ B: the one-hot-MXU chunk stream sharded over the mesh.
+
+    Each device scans 1/D of the (C-,A-,B-subtable) chunk stream into its
+    own block accumulator; one `psum` combines the accumulators (disjoint
+    chunks → pure addition). Operand value arrays are replicated (they are
+    O(nnz), the expansion stream is O(flops) — the big axis is what
+    shards). Reference semantics: multiply, src/lib.rs:713-748.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # jax < 0.8
+        from jax.experimental.shard_map import shard_map
+
+    D = mesh.shape[axis]
+    p = mxu_spgemm_plan(a, b)
+    # pad the step axis to a multiple of D (pad steps carry ch = -1 chunks)
+    ns = p.nsteps
+    nsp = -(-ns // D) * D
+    def padsteps(t, fill=0):
+        if nsp == ns:
+            return t
+        pad = np.full((nsp - ns,) + t.shape[1:], fill, t.dtype)
+        return np.concatenate([t, pad])
+
+    idx = dict(
+        abid=padsteps(p.abid), bbid=padsteps(p.bbid), cbid=padsteps(p.cbid),
+        ah=padsteps(p.ah), al=padsteps(p.al), bh=padsteps(p.bh),
+        bl=padsteps(p.bl), ch=padsteps(p.ch, -1), cl=padsteps(p.cl))
+
+    dt = jnp.dtype(dtype)
+    hi = jax.lax.Precision.HIGHEST
+
+    def shard_fn(ax, bx, abid, bbid, cbid, ah, al, bh, bl, ch, cl):
+        A3 = jnp.zeros((p.na * _SUB,), dt).at[: p.anz].set(ax.astype(dt))
+        A3 = A3.reshape(p.na, _LANE, _LANE)
+        B3 = jnp.zeros((p.nb * _SUB,), dt).at[: p.bnz].set(bx.astype(dt))
+        B3 = B3.reshape(p.nb, _LANE, _LANE)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (p.g, p.ch_size, _LANE), 2)
+
+        def step(acc, args):
+            ab, bb, cb, ahk, alk, bhk, blk, chk, clk = args
+            oh_ah = (lane == ahk[..., None]).astype(dt)
+            ar = jnp.einsum("gce,geh->gch", oh_ah, A3[ab], precision=hi,
+                            preferred_element_type=dt)
+            av = jnp.sum(jnp.where(lane == alk[..., None], ar, 0), axis=-1)
+            oh_bh = (lane == bhk[..., None]).astype(dt)
+            br = jnp.einsum("gce,geh->gch", oh_bh, B3[bb], precision=hi,
+                            preferred_element_type=dt)
+            bv = jnp.sum(jnp.where(lane == blk[..., None], br, 0), axis=-1)
+            pv = av * bv
+            oh_ch = (lane == chk[..., None]).astype(dt)
+            oh_cl = (lane == clk[..., None]).astype(dt)
+            contrib = jnp.einsum("gch,gcl->ghl", oh_ch,
+                                 pv[..., None] * oh_cl, precision=hi,
+                                 preferred_element_type=dt)
+            return acc.at[cb].add(contrib), None
+
+        acc0 = jnp.zeros((p.nc, _LANE, _LANE), dt)
+        # the carry varies per shard (each scans different chunks): mark it
+        if hasattr(jax.lax, "pcast"):
+            acc0 = jax.lax.pcast(acc0, (axis,), to="varying")
+        elif hasattr(jax.lax, "pvary"):
+            acc0 = jax.lax.pvary(acc0, (axis,))
+        acc, _ = jax.lax.scan(
+            step, acc0, (abid, bbid, cbid, ah, al, bh, bl, ch, cl))
+        return jax.lax.psum(acc, axis)  # replicated: shards are disjoint
+
+    specs_in = (P(),) * 2 + (P(axis),) * 9
+    fn = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=specs_in,
+                           out_specs=P()))
+    dd = [jnp.asarray(t) for t in idx.values()]
+    axd = jnp.asarray(a.x[: a.nnz()] if a.nnz() else np.zeros(1), dt)
+    bxd = jnp.asarray(b.x[: b.nnz()] if b.nnz() else np.zeros(1), dt)
+    acc = fn(axd, bxd, *dd)
+    cx = np.asarray(acc).reshape(-1)[: p.nnz]
+    return Sprs(p.nnz, p.m, p.n, p.out_p, p.out_i,
+                cx.astype(a.x.dtype if a.nnz() else np.float64))
 
 
 def spgemm_general(a: Sprs, b: Sprs, plan: Optional[MxuSpgemmPlan] = None,

@@ -98,3 +98,23 @@ def test_f32_tolerance():
     np.testing.assert_allclose(np.asarray(c.x[: c.nnz()]),
                                np.asarray(c_ref.x[: c_ref.nnz()]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_spgemm_general_dist():
+    """Sharded chunk-stream SpGEMM over the virtual mesh matches multiply."""
+    from rsparse_tpu import parallel as par
+    from rsparse_tpu.ops.spgemm_general import spgemm_general_dist
+
+    import jax
+
+    D = jax.local_device_count()
+    mesh = par.make_mesh(D, data=1)
+    rng = np.random.default_rng(21)
+    a = _rand_sprs(rng, 70, 55, 0.12)
+    b = _rand_sprs(rng, 55, 64, 0.12)
+    c_ref = ops.multiply(a, b)
+    c = spgemm_general_dist(a, b, mesh, dtype="float64")
+    assert np.array_equal(c.p, c_ref.p)
+    np.testing.assert_allclose(np.asarray(c.x[: c.nnz()]),
+                               np.asarray(c_ref.x[: c_ref.nnz()]),
+                               rtol=0, atol=1e-12)
