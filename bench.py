@@ -278,6 +278,94 @@ def bench_spgemm_general(jax, jnp, native):
     return nnzC / t_dev, nnzC / t_cpp
 
 
+def bench_sptrsv(rs, native, jax, jnp):
+    """Batched-RHS triangular sweep (serving shape [n, 128]): the Pallas
+    single-kernel VMEM-resident sweep vs (a) the XLA level loop and (b) the
+    reference's sequential host solves (128x lsolve, src/lib.rs:464-471)."""
+    from rsparse_tpu.solve import tri_plan, _tri_sweep_multi, _plan_dev
+    import rsparse_tpu.ops.sptrsv_pallas as sp
+    from rsparse_tpu.symbolic import schol
+    from rsparse_tpu import ops
+
+    A = rs.Sprs()
+    A.load("/root/reference/tests/assets/cholsol_7.sprs")
+    s = schol(A, 0)
+    c = ops.symperm(A, s.pinv)
+    nzc = c.nnz()
+    Lp, Li, Lx = native.chol_numeric(
+        A.n, c.p, c.i[:nzc], c.x[:nzc], s.parent, s.cp)
+    from rsparse_tpu.data import Sprs as _S
+
+    L = _S(len(Lx), A.n, A.n, Lp, Li, Lx)
+    n, nnz, B = L.n, L.nnz(), 128
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((n, B)).astype(np.float32)
+    # host: 128 sequential single-RHS solves (the reference's only shape)
+    cols = np.ascontiguousarray(X.astype(np.float64).T)
+    want = cols[0].copy()
+    native.lsolve_host(n, Lp, Li, Lx, want)  # correctness anchor (below)
+
+    def host_once():
+        for r in cols:
+            native.lsolve_host(n, Lp, Li, Lx, r)
+
+    host_once()
+    t_host = min(_t(host_once) for _ in range(2))
+
+    p0 = tri_plan(L, 0)
+    st = sp._streams(p0)
+    n_pad = -(-(n + 1) // 8) * 8
+    wmax_pad = max(-(-p0.wmax // 8) * 8, 8)
+    call = sp._sweep_call(p0.nlev, n_pad, B, wmax_pad, True, False)
+    tx32 = jnp.asarray(Lx.astype(np.float32))
+    ev = tx32[jnp.asarray(st["epos"])]
+    dv = tx32[jnp.asarray(st["cdiag"])]
+    eoff, coff = jnp.asarray(st["eoff"]), jnp.asarray(st["coff"])
+    erow, ecol, cid = (jnp.asarray(st["erow"]), jnp.asarray(st["ecol"]),
+                       jnp.asarray(st["cid"]))
+    Xp = jnp.zeros((n_pad, B), jnp.float32).at[:n].set(jnp.asarray(X))
+    iters = 20
+
+    @jax.jit
+    def chain_pallas(xp):
+        def body(_, cur):
+            r = call(eoff, coff, ev, erow, ecol, dv, cid, cur)
+            return r / jnp.max(jnp.abs(r))
+
+        return jax.lax.fori_loop(0, iters, body, xp)
+
+    pd = _plan_dev(p0)
+
+    @jax.jit
+    def chain_xla(xp):
+        def body(_, cur):
+            r = _tri_sweep_multi(tx32, cur[:n], *pd, p0.nlev, p0.emax,
+                                 p0.wmax, p0.n, True)
+            r = r / jnp.max(jnp.abs(r))
+            return jnp.zeros((n_pad, B), jnp.float32).at[:n].set(r)
+
+        return jax.lax.fori_loop(0, iters, body, xp)
+
+    # correctness anchor: one sweep against the host solve
+    one = np.asarray(call(eoff, coff, ev, erow, ecol, dv, cid, Xp),
+                     np.float64)[:n]
+    got0 = one[:, 0]
+    err = np.abs(got0 - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-4, f"pallas sweep vs host lsolve: {err}"
+    float(jnp.sum(chain_pallas(Xp)))
+    t0 = time.perf_counter()
+    cs = float(jnp.sum(chain_pallas(Xp)))
+    t_pal = (time.perf_counter() - t0) / iters
+    assert np.isfinite(cs)
+    float(jnp.sum(chain_xla(Xp)))
+    t0 = time.perf_counter()
+    cs2 = float(jnp.sum(chain_xla(Xp)))
+    t_xla = (time.perf_counter() - t0) / iters
+    assert np.isfinite(cs2)
+    rows = nnz * B
+    return rows / t_pal, t_xla / t_pal, t_host / t_pal
+
+
 def bench_spgemm(rs, native, jax, jnp):
     """Device-resident DIA SpGEMM kernel (serving setting: operands and
     product live in HBM; one checksum readback ends the dependent chain)
@@ -361,6 +449,10 @@ def main():
     sgg_dev, sgg_cpp = bench_spgemm_general(jax, jnp, native)
     extra["spgemm_general_nnz_per_s"] = round(sgg_dev, 1)
     extra["spgemm_general_vs_cpp"] = round(sgg_dev / sgg_cpp, 3)
+    tr_rows, tr_vs_xla, tr_vs_cpp = bench_sptrsv(rs, native, jax, jnp)
+    extra["sptrsv_pallas_nnzrow_per_s"] = round(tr_rows, 1)
+    extra["sptrsv_pallas_vs_xla"] = round(tr_vs_xla, 3)
+    extra["sptrsv_pallas_vs_cpp"] = round(tr_vs_cpp, 3)
 
     print(json.dumps({
         "metric": "lusol_wall_s",

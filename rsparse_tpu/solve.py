@@ -276,9 +276,21 @@ def _plan_dev(p: TriPlan):
 def _tri_solve_multi(t: Sprs, X, kind: int, plan: Optional[TriPlan] = None):
     """Batched dense-RHS triangular solve: X is [n, B] (or [B, n] via .T by
     the caller). Returns the solved [n, B] matrix."""
+    import jax
     import jax.numpy as jnp
 
     p = plan or tri_plan(t, kind)
+    Xa = np.asarray(X)
+    if (config.use_pallas and jax.default_backend() == "tpu"
+            and np.dtype(t.x.dtype) == np.float32 and Xa.ndim == 2):
+        from .ops.sptrsv_pallas import (pallas_sweep_available,
+                                        sptrsv_pallas_multi)
+
+        if pallas_sweep_available(p.n, Xa.shape[1], np.float32):
+            # single-kernel VMEM-resident sweep (measured ~50x the padded
+            # XLA level loop on deep schedules); f32 factors only — the
+            # f64 path keeps the exact XLA sweep below
+            return np.array(sptrsv_pallas_multi(t.x[: t.nnz()], Xa, p, kind))
     out = _tri_sweep_multi(
         jnp.asarray(t.x[: t.nnz()]),
         jnp.asarray(np.asarray(X, dtype=t.x.dtype)),
