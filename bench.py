@@ -147,6 +147,52 @@ def _t(fn):
     return time.perf_counter() - t0
 
 
+def bench_serve(rs, native, jax, jnp):
+    """Batched SPD serving (128 RHS, device-resident): cholsol_serve's
+    fused f32-Pallas-sweeps + on-device f64 refinement vs the host engine's
+    128 sequential solves on the same factor. Runs under x64 (the
+    refinement is f64)."""
+    from rsparse_tpu.symbolic import schol
+    from rsparse_tpu import ops
+
+    A = rs.Sprs()
+    A.load("/root/reference/tests/assets/cholsol_7.sprs")
+    n = A.n
+    rng = np.random.default_rng(5)
+    B = rng.standard_normal((n, 128))
+    s0 = schol(A, 0)
+    c = ops.symperm(A, s0.pinv)
+    nzc = c.nnz()
+    Lp, Li, Lx = native.chol_numeric(
+        n, c.p, c.i[:nzc], c.x[:nzc], s0.parent, s0.cp)
+    pv = np.asarray(s0.pinv, np.int64)
+
+    def host_solves():
+        X = np.empty_like(B)
+        for j in range(B.shape[1]):
+            xx = np.zeros(n)
+            xx[pv] = B[:, j]
+            native.lsolve_host(n, Lp, Li, Lx, xx)
+            native.ltsolve_host(n, Lp, Li, Lx, xx)
+            X[:, j] = xx[pv]
+        return X
+
+    Xh = host_solves()
+    t_host = min(_t(host_solves) for _ in range(2))
+    h = rs.cholsol_serve(A, 0)
+    Bd = jnp.asarray(B)
+    float(jnp.sum(h(Bd)))  # compile + warm
+
+    def dev_once():
+        return float(jnp.sum(h(Bd)))  # readback barrier (tunnel)
+
+    dev_once()
+    t_dev = min(_t(dev_once) for _ in range(3))
+    err = np.abs(np.asarray(h(Bd)) - Xh).max() / max(1.0, np.abs(Xh).max())
+    assert err < 1e-9, f"serve handle disagrees with host chol: {err}"
+    return t_dev, t_host
+
+
 def bench_spmv_dia(jax, jnp, spmv_mod, native):
     g = 1024
     n, Ap, Ai, Ax = laplacian_5pt(g)
@@ -433,6 +479,9 @@ def main():
     extra["cholsol_wall_s"] = round(ch_dev, 4)
     extra["cholsol_vs_cpp"] = round(ch_host / ch_dev, 3)
     extra["lusol_host_wall_s"] = round(lu_host, 4)
+    sv_dev, sv_host = bench_serve(rs, native, jax, jnp)
+    extra["cholsol_serve_wall_s"] = round(sv_dev, 4)
+    extra["cholsol_serve_vs_cpp"] = round(sv_host / sv_dev, 3)
 
     # f32 kernel paths (Mosaic index plumbing wants i32)
     jax.config.update("jax_enable_x64", False)

@@ -89,6 +89,8 @@ from .solve import (  # noqa: E402
     cholsol_multi,
     lusol_multi,
     cholsol_ir,
+    cholsol_serve,
+    lusol_serve,
 )
 from .symbolic import schol, sqr  # noqa: E402
 from .factor import chol, lu, qr  # noqa: E402
@@ -110,6 +112,8 @@ __all__ += [
     "cholsol_multi",
     "lusol_multi",
     "cholsol_ir",
+    "cholsol_serve",
+    "lusol_serve",
     "schol",
     "sqr",
     "chol",

@@ -51,6 +51,12 @@ class Config:
     # matrix whose f32 rounding turns a pivot negative) retries in f64
     # before surfacing the error.
     chol_factor_dtype: str = "auto"
+    # Batched-solve serving path (cholsol_multi): "auto" uses f32 Pallas
+    # sweeps + f64 iterative refinement on TPU backends, exact f64 XLA
+    # sweeps elsewhere; "force" takes the mixed path on any backend (the
+    # CPU test backend runs the kernel through the Pallas interpreter);
+    # "off" disables it.
+    serve_mixed: str = "auto"
     # Latency tier (tunneled TPU only): Cholesky factors below this lnz run
     # the native host engine — through a remote-runtime tunnel the per-launch
     # latency (~15-20 ms) dwarfs the flops of small factors, and the

@@ -32,7 +32,8 @@ from .symbolic import native
 __all__ = [
     "lsolve", "ltsolve", "usolve", "utsolve",
     "lsolve_multi", "ltsolve_multi", "usolve_multi", "utsolve_multi",
-    "cholsol", "lusol", "qrsol", "qrsol_ls", "cholsol_multi", "lusol_multi", "cholsol_ir", "happly_dense",
+    "cholsol", "lusol", "qrsol", "qrsol_ls", "cholsol_multi", "lusol_multi",
+    "cholsol_ir", "cholsol_serve", "lusol_serve", "happly_dense",
 ]
 
 
@@ -281,7 +282,9 @@ def _tri_solve_multi(t: Sprs, X, kind: int, plan: Optional[TriPlan] = None):
 
     p = plan or tri_plan(t, kind)
     Xa = np.asarray(X)
-    if (config.use_pallas and jax.default_backend() == "tpu"
+    if (config.use_pallas and config.serve_mixed != "off"
+            and (jax.default_backend() == "tpu"
+                 or config.serve_mixed == "force")
             and np.dtype(t.x.dtype) == np.float32 and Xa.ndim == 2):
         from .ops.sptrsv_pallas import (pallas_sweep_available,
                                         sptrsv_pallas_multi)
@@ -348,6 +351,9 @@ def cholsol_multi(a: Sprs, B, order: int = 0, *, sym: Optional[Symb] = None):
 
         X = solve_mf(mfp, X)
     else:
+        out = _serve_sweeps_mixed(a, s, nm, Bm)
+        if out is not None:
+            return out
         # sweep schedules cached on the Symb: the factor pattern is fixed
         # per analysis, so repeated solves (sym= reuse) skip plan building
         tc = getattr(s, "_tri_cache", None)
@@ -364,6 +370,220 @@ def cholsol_multi(a: Sprs, B, order: int = 0, *, sym: Optional[Symb] = None):
     else:
         out[:] = X
     return out
+
+
+def _serve_enabled():
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    return (config.use_pallas
+            and (config.serve_mixed == "force"
+                 or (config.serve_mixed == "auto" and on_tpu)))
+
+
+def _make_serve_handle(n: int, chain, pin, pout, Mi, Mj, Mx,
+                       refine: int):
+    """Build a device-resident batched solve handle `h(B[n, nrhs]) -> X`.
+
+    chain: [(TriPlan, vals_f64, kind), ...] — f32 Pallas SpTRSV sweeps run
+    in order. pin/pout: row permutations (Bp[pin[i]] = B[i] on the way in,
+    X[i] = Xs[pout[i]] on the way out; None = identity). (Mi, Mj, Mx): COO
+    of the f64 residual matrix in ORIGINAL row order — `refine` iterative-
+    refinement steps run on device against it. The whole solve (permute,
+    sweeps, refinement) is ONE jitted device program; consts stay resident
+    on device across calls."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.sptrsv_pallas import (_streams, _sweep_call,
+                                    pallas_sweep_available)
+
+    n_pad = -(-(n + 1) // 8) * 8
+    interpret = jax.default_backend() != "tpu"
+    specs = []  # (nlev, wmax_pad, scatter_form) per sweep, static
+    flat = []  # device const arrays, 7 per sweep
+    with jax.enable_x64(False):
+        for plan, vals, kind in chain:
+            st = _streams(plan)
+            v32 = jnp.asarray(np.asarray(vals, np.float32))
+            ev = v32[jnp.asarray(st["epos"])]
+            dv = v32[jnp.asarray(st["cdiag"])]
+            eb = st["ecol"] if kind in (0, 1) else st["eslot"]
+            flat += [jnp.asarray(st["eoff"]), jnp.asarray(st["coff"]), ev,
+                     jnp.asarray(st["erow"]), jnp.asarray(eb), dv,
+                     jnp.asarray(st["cid"])]
+            specs.append((plan.nlev, max(-(-plan.wmax // 8) * 8, 8),
+                          kind in (0, 1)))
+    pin_d = jnp.asarray(pin) if pin is not None else None
+    pout_d = jnp.asarray(pout) if pout is not None else None
+    Mi_d, Mj_d = jnp.asarray(Mi), jnp.asarray(Mj)
+    Mx_d = jnp.asarray(np.asarray(Mx, np.float64))
+
+    @partial(jax.jit, static_argnames=("nrhs",))
+    def run(B, Mi_, Mj_, Mx_, *consts, nrhs):
+        perm = consts[7 * len(specs):]
+        with jax.enable_x64(False):
+            calls = [_sweep_call(nl, n_pad, nrhs, wp, sf, interpret)
+                     for nl, wp, sf in specs]
+
+        def solve_full(R):
+            Rp = R if pin_d is None else jnp.zeros(
+                (n, nrhs), jnp.float64).at[perm[0]].set(R)
+            Z = jnp.zeros((n_pad, nrhs), jnp.float32).at[:n].set(
+                Rp.astype(jnp.float32))
+            with jax.enable_x64(False):
+                for k, call in enumerate(calls):
+                    Z = call(*consts[7 * k: 7 * k + 7], Z)
+            Xs = Z[:n].astype(jnp.float64)
+            return Xs if pout_d is None else Xs[perm[-1]]
+
+        B64 = B.astype(jnp.float64)
+        X = solve_full(B64)
+        for _ in range(max(0, refine)):
+            ax = jnp.zeros((n, nrhs), jnp.float64).at[Mi_].add(
+                Mx_[:, None] * X[Mj_])
+            X = X + solve_full(B64 - ax)
+        return X
+
+    pargs = ([pin_d] if pin_d is not None else []) + (
+        [pout_d] if pout_d is not None else [])
+
+    def handle(B):
+        Bd = jnp.asarray(B)
+        return run(Bd, Mi_d, Mj_d, Mx_d, *flat, *pargs,
+                   nrhs=int(Bd.shape[1]))
+
+    handle.available = pallas_sweep_available(n, 128, np.float32)
+    return handle
+
+
+def cholsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
+                  refine: int = 2):
+    """Device-resident batched SPD solve handle: `h(B[n, nrhs]) -> X` with
+    chol semantics (the factorization — and hence the refinement — uses the
+    symmetrized upper triangle of PAP', exactly like the reference's
+    cholsol, src/lib.rs:377-389; for symmetric A that IS A).
+
+    One symbolic analysis + one factorization, then every `h(B)` call is a
+    single fused device program: f32 Pallas SpTRSV sweeps
+    (ops/sptrsv_pallas.py — the whole level schedule in one kernel) plus
+    `refine` steps of f64 iterative refinement against the symmetrized
+    matrix, all on device. B may be a numpy or jnp array; the result is a
+    jnp f64 array (keep it on device to avoid tunnel transfers — serving
+    pipelines should produce/consume device arrays).
+
+    No reference counterpart (the reference is single-RHS, host-only); this
+    is the TPU-first serving shape (SURVEY.md §7 perf-pass 10)."""
+    from .factor import chol
+    from .symbolic import schol
+
+    n = a.n
+    s = sym if sym is not None else schol(a, order)
+    nm = chol(a, s)
+    lx = np.asarray(nm.l.x, np.float64)
+    tc = getattr(s, "_tri_cache", None)
+    if tc is None:
+        tc = {}
+        s._tri_cache = tc
+    p0 = tc.get(0) or tc.setdefault(0, tri_plan(nm.l, 0))
+    p2 = tc.get(2) or tc.setdefault(2, tri_plan(nm.l, 2))
+    pinv = (np.asarray(s.pinv, np.int64) if s.pinv is not None
+            else None)
+    # symmetrized matrix: C = triu(PAP'); M = C + C' - D, conjugated back
+    # to original row order for the refinement residual
+    c = ops.symperm(a, s.pinv) if s.pinv is not None else ops.symperm(a, None)
+    nzc = c.nnz()
+    ci = c.i[:nzc].astype(np.int64)
+    cj = col_ids(c.p, n)
+    cx = np.asarray(c.x[:nzc], np.float64)
+    offd = ci != cj
+    Mi = np.concatenate([ci, cj[offd]])
+    Mj = np.concatenate([cj, ci[offd]])
+    Mx = np.concatenate([cx, cx[offd]])
+    if pinv is not None:
+        porder = np.argsort(pinv)  # permuted position -> original row
+        Mi = porder[Mi]
+        Mj = porder[Mj]
+    h = _make_serve_handle(
+        n, [(p0, lx, 0), (p2, lx, 2)], pinv, pinv,
+        Mi.astype(np.int32), Mj.astype(np.int32), Mx, refine)
+    h.sym = s
+    return h
+
+
+def lusol_serve(a: Sprs, order: int = 1, tol: float = 1e-6, *,
+                sym: Optional[Symb] = None, refine: int = 2):
+    """Device-resident batched LU solve handle: `h(B[n, nrhs]) -> X` with
+    lusol semantics (reference src/lib.rs:672-683: P from partial pivoting,
+    Q from the fill-reducing column ordering).
+
+    Same serving design as `cholsol_serve`: f32 Pallas SpTRSV sweeps
+    (L then U) fused with on-device f64 iterative refinement against A."""
+    from .factor import lu
+    from .symbolic import sqr
+
+    n = a.n
+    s = sym if sym is not None else sqr(a, order, False)
+    nm = lu(a, s, tol)
+    lx = np.asarray(nm.l.x, np.float64)
+    ux = np.asarray(nm.u.x, np.float64)
+    p0 = tri_plan(nm.l, 0)
+    p1 = tri_plan(nm.u, 1)
+    pin = np.asarray(nm.pinv, np.int64) if nm.pinv is not None else None
+    # out[q[i]] = xs[i]  <=>  out[j] = xs[qinv[j]]
+    pout = (np.argsort(np.asarray(s.q, np.int64))
+            if s.q is not None else None)
+    nz = a.nnz()
+    Mi = a.i[:nz].astype(np.int32)
+    Mj = col_ids(a.p, n).astype(np.int32)
+    Mx = np.asarray(a.x[:nz], np.float64)
+    h = _make_serve_handle(
+        n, [(p0, lx, 0), (p1, ux, 1)], pin, pout, Mi, Mj, Mx, refine)
+    h.sym = s
+    return h
+
+
+def _serve_sweeps_mixed(a: Sprs, s, nm, Bm: np.ndarray):
+    """cholsol_multi's serving branch: the device-resident cholsol_serve
+    handle (f32 Pallas sweeps + on-device f64 refinement against the
+    SYMMETRIZED matrix — chol semantics) with numpy in/out. Returns the
+    solved [n, B] in original row order, or None when the path does not
+    apply / refinement fell short (caller falls back to exact f64 XLA
+    sweeps)."""
+    from .ops.sptrsv_pallas import pallas_sweep_available
+
+    n = a.n
+    nrhs = Bm.shape[1] if Bm.ndim == 2 else 0
+    if (not _serve_enabled() or nrhs < 8
+            or not isinstance(nm.l.x, np.ndarray)
+            or not pallas_sweep_available(n, nrhs, np.float32)):
+        return None
+    handles = s.__dict__.setdefault("_serve_handles", {})
+    h = handles.get("chol")
+    if h is None:
+        h = handles.setdefault("chol", cholsol_serve(a, sym=s))
+    X = np.asarray(h(Bm), np.float64)
+    # verify against the matrix chol actually factored (symmetrized triu
+    # of PAP' — for symmetric inputs that is A itself)
+    scale = max(1.0, float(np.abs(Bm).max()))
+    pv = (np.asarray(s.pinv, np.int64) if s.pinv is not None
+          else np.arange(n))
+    Xp = np.zeros_like(X)
+    Xp[pv] = X
+    Bp = np.zeros_like(Bm)
+    Bp[pv] = Bm
+    c = ops.symperm(a, s.pinv) if s.pinv is not None else ops.symperm(a, None)
+    nzc = c.nnz()
+    ci = c.i[:nzc]
+    cj = col_ids(c.p, n)
+    cx = np.asarray(c.x[:nzc], np.float64)
+    R = Bp.copy()
+    np.add.at(R, ci, -cx[:, None] * Xp[cj])
+    offd = ci != cj
+    np.add.at(R, cj[offd], -cx[offd][:, None] * Xp[ci[offd]])
+    if float(np.abs(R).max()) < 1e-9 * scale:
+        return X
+    return None  # conditioning beyond f32 refinement: exact path instead
 
 
 def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,

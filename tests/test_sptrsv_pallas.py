@@ -87,3 +87,85 @@ def test_availability_gate():
     assert pallas_sweep_available(4000, 128, np.float32)
     assert not pallas_sweep_available(4000, 128, np.float64)
     assert not pallas_sweep_available(40_000_000, 128, np.float32)
+
+
+def test_cholsol_multi_serve_mixed():
+    """cholsol_multi's mixed serving path (f32 Pallas sweeps + f64
+    refinement) reaches f64 accuracy; forced on the CPU backend via
+    config.serve_mixed so the interpreter covers the full driver."""
+    from rsparse_tpu.config import config
+
+    a = rs.Sprs.new_from_file(f"{ASSETS}/cholsol_5.sprs")
+    rng = np.random.default_rng(9)
+    B = rng.standard_normal((a.n, 32))
+    want = rs.cholsol_multi(a, B, 0)  # exact f64 path on CPU
+    old = config.serve_mixed
+    config.serve_mixed = "force"
+    try:
+        s = rs.schol(a, 0)
+        got = rs.cholsol_multi(a, B, 0, sym=s)
+        # a second call reuses the cached plans + streams
+        got2 = rs.cholsol_multi(a, B, 0, sym=s)
+    finally:
+        config.serve_mixed = old
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-9, err
+    np.testing.assert_array_equal(got, got2)
+    # the refinement really happened against the f64 matrix
+    Ad = np.asarray(a.to_dense_np())
+    resid = np.abs(Ad @ got - B).max()
+    assert resid < 1e-9 * max(1.0, np.abs(B).max()), resid
+
+
+def test_serve_mixed_nonsymmetric_semantics():
+    """chol semantics: only triu(PAP') matters. The serving path's
+    refinement must target the SYMMETRIZED matrix — perturbing the strictly
+    lower triangle (which the reference's cholsol ignores, src/lib.rs:
+    2369-2408 symperm keeps triu) must not change the answer."""
+    from rsparse_tpu.config import config
+
+    a = rs.Sprs.new_from_file(f"{ASSETS}/cholsol_2.sprs")
+    ad = np.asarray(a.to_dense_np())
+    # natural order (order=-1): triu(A) is what chol consumes, so a
+    # strictly-lower perturbation is invisible to the factorization
+    pert = ad.copy()
+    ij = np.tril_indices(a.n, -1)
+    rng = np.random.default_rng(11)
+    pert[ij] += rng.standard_normal(len(ij[0])) * np.abs(ad[ij]).max()
+    ap = rs.Sprs.new_from_vec([[float(v) for v in row] for row in pert])
+
+    B = rng.standard_normal((a.n, 16))
+    want = rs.cholsol_multi(ap, B, -1)  # exact path, symmetrized semantics
+    old = config.serve_mixed
+    config.serve_mixed = "force"
+    try:
+        got = rs.cholsol_multi(ap, B, -1)
+    finally:
+        config.serve_mixed = old
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-9, err
+
+
+def test_lusol_serve():
+    """lusol_serve handle (L+U Pallas sweeps + f64 refinement vs A) matches
+    the exact lusol on a well-conditioned system (interpret on CPU)."""
+    from bench import laplacian_5pt
+
+    n, p, i, x = laplacian_5pt(10)
+    # unsymmetrize: scale the strictly-lower entries so L/U really differ
+    x = x.copy()
+    cols = np.repeat(np.arange(n), np.diff(p))
+    x[i > cols] *= 1.7
+    a = rs.Sprs(len(x), n, n, p, i, x)
+    rng = np.random.default_rng(13)
+    B = rng.standard_normal((n, 16))
+    want = np.stack([np.asarray(rs.lusol(a, list(B[:, j]), 1, 1e-12))
+                     for j in range(4)], axis=1)
+    h = rs.lusol_serve(a, 1, 1e-12)
+    got = np.asarray(h(B), np.float64)
+    err = np.abs(got[:, :4] - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-9, err
+    # full-batch residual oracle
+    ad = np.asarray(a.to_dense_np())
+    resid = np.abs(ad @ got - B).max()
+    assert resid < 1e-9 * max(1.0, np.abs(B).max()), resid
