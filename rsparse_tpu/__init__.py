@@ -91,6 +91,7 @@ from .solve import (  # noqa: E402
     cholsol_ir,
     cholsol_serve,
     lusol_serve,
+    qrsol_serve,
 )
 from .symbolic import schol, sqr  # noqa: E402
 from .factor import chol, lu, qr  # noqa: E402
@@ -114,6 +115,7 @@ __all__ += [
     "cholsol_ir",
     "cholsol_serve",
     "lusol_serve",
+    "qrsol_serve",
     "schol",
     "sqr",
     "chol",

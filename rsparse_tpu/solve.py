@@ -33,7 +33,8 @@ __all__ = [
     "lsolve", "ltsolve", "usolve", "utsolve",
     "lsolve_multi", "ltsolve_multi", "usolve_multi", "utsolve_multi",
     "cholsol", "lusol", "qrsol", "qrsol_ls", "cholsol_multi", "lusol_multi",
-    "cholsol_ir", "cholsol_serve", "lusol_serve", "happly_dense",
+    "cholsol_ir", "cholsol_serve", "lusol_serve", "qrsol_serve",
+    "happly_dense",
 ]
 
 
@@ -381,25 +382,18 @@ def _serve_enabled():
                  or (config.serve_mixed == "auto" and on_tpu)))
 
 
-def _make_serve_handle(n: int, chain, pin, pout, Mi, Mj, Mx,
-                       refine: int):
-    """Build a device-resident batched solve handle `h(B[n, nrhs]) -> X`.
+def _chain_prep(chain):
+    """Static specs + device consts for a sequence of f32 Pallas sweeps.
 
-    chain: [(TriPlan, vals_f64, kind), ...] — f32 Pallas SpTRSV sweeps run
-    in order. pin/pout: row permutations (Bp[pin[i]] = B[i] on the way in,
-    X[i] = Xs[pout[i]] on the way out; None = identity). (Mi, Mj, Mx): COO
-    of the f64 residual matrix in ORIGINAL row order — `refine` iterative-
-    refinement steps run on device against it. The whole solve (permute,
-    sweeps, refinement) is ONE jitted device program; consts stay resident
-    on device across calls."""
+    chain: [(TriPlan, vals_f64, kind), ...]. Returns (specs, flat) where
+    specs holds one (nlev, wmax_pad, scatter_form) triple per sweep and
+    flat holds seven device-resident const arrays per sweep, in the
+    argument order `ops.sptrsv_pallas._sweep_call` expects."""
     import jax
     import jax.numpy as jnp
 
-    from .ops.sptrsv_pallas import (_streams, _sweep_call,
-                                    pallas_sweep_available)
+    from .ops.sptrsv_pallas import _streams
 
-    n_pad = -(-(n + 1) // 8) * 8
-    interpret = jax.default_backend() != "tpu"
     specs = []  # (nlev, wmax_pad, scatter_form) per sweep, static
     flat = []  # device const arrays, 7 per sweep
     with jax.enable_x64(False):
@@ -414,6 +408,28 @@ def _make_serve_handle(n: int, chain, pin, pout, Mi, Mj, Mx,
                      jnp.asarray(st["cid"])]
             specs.append((plan.nlev, max(-(-plan.wmax // 8) * 8, 8),
                           kind in (0, 1)))
+    return specs, flat
+
+
+def _make_serve_handle(n: int, chain, pin, pout, Mi, Mj, Mx,
+                       refine: int):
+    """Build a device-resident batched solve handle `h(B[n, nrhs]) -> X`.
+
+    chain: [(TriPlan, vals_f64, kind), ...] — f32 Pallas SpTRSV sweeps run
+    in order. pin/pout: row permutations (Bp[pin[i]] = B[i] on the way in,
+    X[i] = Xs[pout[i]] on the way out; None = identity). (Mi, Mj, Mx): COO
+    of the f64 residual matrix in ORIGINAL row order — `refine` iterative-
+    refinement steps run on device against it. The whole solve (permute,
+    sweeps, refinement) is ONE jitted device program; consts stay resident
+    on device across calls."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.sptrsv_pallas import _sweep_call, pallas_sweep_available
+
+    n_pad = -(-(n + 1) // 8) * 8
+    interpret = jax.default_backend() != "tpu"
+    specs, flat = _chain_prep(chain)
     pin_d = jnp.asarray(pin) if pin is not None else None
     pout_d = jnp.asarray(pout) if pout is not None else None
     Mi_d, Mj_d = jnp.asarray(Mi), jnp.asarray(Mj)
@@ -541,6 +557,101 @@ def lusol_serve(a: Sprs, order: int = 1, tol: float = 1e-6, *,
         n, [(p0, lx, 0), (p1, ux, 1)], pin, pout, Mi, Mj, Mx, refine)
     h.sym = s
     return h
+
+
+def qrsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
+                refine: int = 2):
+    """Device-resident batched least-squares / minimum-norm solve handle:
+    `h(B[m, nrhs]) -> X[n, nrhs]` with `qrsol_ls` (CSNE) semantics —
+    min ||AX-B|| for m >= n, the minimum-norm solution for m < n.
+
+    One Cholesky of the Gram matrix (A'A, or AA' when m < n), then every
+    `h(B)` call is a single fused device program: the Gram solve runs as
+    f32 Pallas SpTRSV sweeps (ops/sptrsv_pallas.py) and `refine` steps of
+    corrected-seminormal-equation refinement (Björck: r = B - AX on the
+    ORIGINAL f64 A, correction = G^{-1} A'r) recover f64 accuracy and undo
+    the squared conditioning. Same serving design as `cholsol_serve` /
+    `lusol_serve`; the reference's qrsol (src/lib.rs:927-956) is the
+    single-RHS exact-Householder counterpart."""
+    import jax
+    import jax.numpy as jnp
+
+    from .factor import chol
+    from .symbolic import schol
+    from .ops.sptrsv_pallas import _sweep_call, pallas_sweep_available
+
+    m, n = a.m, a.n
+    at = ops.transpose(a)
+    g = ops.multiply(at, a) if m >= n else ops.multiply(a, at)
+    k = g.n
+    s = sym if sym is not None else schol(g, order)
+    nm = chol(g, s)
+    lx = np.asarray(nm.l.x, np.float64)
+    tc = getattr(s, "_tri_cache", None)
+    if tc is None:
+        tc = {}
+        s._tri_cache = tc
+    p0 = tc.get(0) or tc.setdefault(0, tri_plan(nm.l, 0))
+    p2 = tc.get(2) or tc.setdefault(2, tri_plan(nm.l, 2))
+    pinv = (np.asarray(s.pinv, np.int64) if s.pinv is not None else None)
+    nz = a.nnz()
+    Mi_d = jnp.asarray(a.i[:nz].astype(np.int32))
+    Mj_d = jnp.asarray(col_ids(a.p, n).astype(np.int32))
+    Mx_d = jnp.asarray(np.asarray(a.x[:nz], np.float64))
+    pin_d = jnp.asarray(pinv) if pinv is not None else None
+
+    k_pad = -(-(k + 1) // 8) * 8
+    interpret = jax.default_backend() != "tpu"
+    specs, flat = _chain_prep([(p0, lx, 0), (p2, lx, 2)])
+    tall = m >= n
+
+    @partial(jax.jit, static_argnames=("nrhs",))
+    def run(B, Mi_, Mj_, Mx_, *consts, nrhs):
+        perm = consts[7 * len(specs):]
+        with jax.enable_x64(False):
+            calls = [_sweep_call(nl, k_pad, nrhs, wp, sf, interpret)
+                     for nl, wp, sf in specs]
+
+        def solve_gram(R):  # [k, nrhs] f64 -> G^{-1} R, f32 sweeps inside
+            Rp = R if pin_d is None else jnp.zeros(
+                (k, nrhs), jnp.float64).at[perm[0]].set(R)
+            Z = jnp.zeros((k_pad, nrhs), jnp.float32).at[:k].set(
+                Rp.astype(jnp.float32))
+            with jax.enable_x64(False):
+                for c, call in enumerate(calls):
+                    Z = call(*consts[7 * c: 7 * c + 7], Z)
+            Zs = Z[:k].astype(jnp.float64)
+            return Zs if pin_d is None else Zs[perm[0]]
+
+        def ax(X):  # A @ X: [n, nrhs] -> [m, nrhs]
+            return jnp.zeros((m, nrhs), jnp.float64).at[Mi_].add(
+                Mx_[:, None] * X[Mj_])
+
+        def atr(R):  # A' @ R: [m, nrhs] -> [n, nrhs]
+            return jnp.zeros((n, nrhs), jnp.float64).at[Mj_].add(
+                Mx_[:, None] * R[Mi_])
+
+        B64 = B.astype(jnp.float64)
+        if tall:
+            X = solve_gram(atr(B64))
+            for _ in range(max(0, refine)):
+                X = X + solve_gram(atr(B64 - ax(X)))
+        else:
+            X = atr(solve_gram(B64))
+            for _ in range(max(0, refine)):
+                X = X + atr(solve_gram(B64 - ax(X)))
+        return X
+
+    pargs = [pin_d] if pin_d is not None else []
+
+    def handle(B):
+        Bd = jnp.asarray(B)
+        return run(Bd, Mi_d, Mj_d, Mx_d, *flat, *pargs,
+                   nrhs=int(Bd.shape[1]))
+
+    handle.available = pallas_sweep_available(k, 128, np.float32)
+    handle.sym = s
+    return handle
 
 
 def _serve_sweeps_mixed(a: Sprs, s, nm, Bm: np.ndarray):

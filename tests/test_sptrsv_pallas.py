@@ -146,6 +146,48 @@ def test_serve_mixed_nonsymmetric_semantics():
     assert err < 1e-9, err
 
 
+def _tall_sparse(m_extra=40, g=10, seed=7):
+    """Well-conditioned tall sparse matrix: Laplacian + random sparse rows."""
+    from bench import laplacian_5pt
+
+    n, p, i, x = laplacian_5pt(g)
+    t = rs.Trpl()
+    cols = np.repeat(np.arange(n), np.diff(p))
+    for r, c, v in zip(i, cols, x):
+        t.append(int(r), int(c), float(v))
+    rng = np.random.default_rng(seed)
+    for r in range(m_extra):
+        for c in rng.choice(n, 3, replace=False):
+            t.append(n + r, int(c), float(rng.standard_normal()))
+    return t.to_sprs()
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_qrsol_serve(wide):
+    """qrsol_serve (device-resident CSNE handle) matches the dense
+    least-squares / minimum-norm oracle on both branches."""
+    a = _tall_sparse()
+    if wide:
+        a = rs.transpose(a)
+    m, n = a.m, a.n
+    rng = np.random.default_rng(17)
+    B = rng.standard_normal((m, 16))
+    h = rs.qrsol_serve(a, 0)
+    assert h.available
+    got = np.asarray(h(B), np.float64)
+    assert got.shape == (n, 16)
+    ad = np.asarray(a.to_dense_np())
+    want = np.linalg.lstsq(ad, B, rcond=None)[0]
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-8, err
+    # second call reuses the compiled program
+    np.testing.assert_array_equal(np.asarray(h(B)), got)
+    # single-column agreement with the exact-Householder qrsol
+    x1 = np.asarray(rs.qrsol(a, list(B[:, 0].copy()), 0))
+    err1 = np.abs(got[:, 0] - x1[:n]).max() / max(1.0, np.abs(x1).max())
+    assert err1 < 1e-8, err1
+
+
 def test_lusol_serve():
     """lusol_serve handle (L+U Pallas sweeps + f64 refinement vs A) matches
     the exact lusol on a well-conditioned system (interpret on CPU)."""
