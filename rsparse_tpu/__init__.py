@@ -88,6 +88,7 @@ from .solve import (  # noqa: E402
     qrsol_ls,
     cholsol_multi,
     lusol_multi,
+    qrsol_multi,
     cholsol_ir,
     cholsol_serve,
     lusol_serve,
@@ -112,6 +113,7 @@ __all__ += [
     "qrsol_ls",
     "cholsol_multi",
     "lusol_multi",
+    "qrsol_multi",
     "cholsol_ir",
     "cholsol_serve",
     "lusol_serve",

@@ -386,9 +386,15 @@ def dist_cholsol(a: Sprs, b, mesh: Mesh, order: int = 0, axis: str = "model"):
     both triangular sweeps as SPMD level-scheduled solves over the mesh
     (SURVEY.md §7 step 9: partitioned SpTRSV -> multi-host cholsol).
 
+    The sweeps run through the halo-sharded design (x sharded n/D per
+    device, ppermute boundary exchange — parallel/halo.py), matching
+    `dist_lusol`/`dist_qrsol`; patterns the row-block partition cannot
+    cover fall back to the replicated dist_tri_solve automatically.
     Semantics match single-chip `solve.cholsol` (reference
     src/lib.rs:377-389)."""
     import rsparse_tpu as _rs
+
+    from .halo import dist_tri_solve_halo
 
     n = a.n
     s = _rs.schol(a, order)
@@ -399,8 +405,8 @@ def dist_cholsol(a: Sprs, b, mesh: Mesh, order: int = 0, axis: str = "model"):
         x[np.asarray(s.pinv, dtype=np.int64)] = bb
     else:
         x[:] = bb
-    x = np.asarray(dist_tri_solve(nm.l, x, 0, mesh, axis))
-    x = np.asarray(dist_tri_solve(nm.l, x, 2, mesh, axis))
+    x = np.asarray(dist_tri_solve_halo(nm.l, x, 0, mesh, axis))
+    x = np.asarray(dist_tri_solve_halo(nm.l, x, 2, mesh, axis))
     out = np.zeros(n)
     if s.pinv is not None:
         out[:] = x[np.asarray(s.pinv, dtype=np.int64)]

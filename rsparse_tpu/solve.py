@@ -33,6 +33,7 @@ __all__ = [
     "lsolve", "ltsolve", "usolve", "utsolve",
     "lsolve_multi", "ltsolve_multi", "usolve_multi", "utsolve_multi",
     "cholsol", "lusol", "qrsol", "qrsol_ls", "cholsol_multi", "lusol_multi",
+    "qrsol_multi",
     "cholsol_ir", "cholsol_serve", "lusol_serve", "qrsol_serve",
     "happly_dense",
 ]
@@ -803,6 +804,91 @@ def qrsol_ls(a: Sprs, b, order: int = 0, refine: int = 2,
         r = bb - np.asarray(ops.gaxpy(a, list(x), [0.0] * m))
         x = x + np.asarray(ops.gaxpy(at, list(spd_solve(r)), [0.0] * n))
     return x
+
+
+def qrsol_multi(a: Sprs, B, order: int = 0, refine: int = 2,
+                *, sym: Optional[Symb] = None):
+    """Batched least-squares / minimum-norm solve: B is [m, nrhs]; returns
+    X [n, nrhs] minimizing ||A@X - B|| columnwise (minimum-norm when m < n).
+
+    No reference counterpart (the reference qrsol is single-RHS,
+    src/lib.rs:927-956); this is the TPU serving shape for rectangular
+    systems — CSNE like `qrsol_ls`, amortizing one Gram-matrix Cholesky
+    over a lane-aligned RHS batch. When the serving path is enabled
+    (config.serve_mixed + Pallas), the batch runs through a cached
+    `qrsol_serve` handle (single fused device program); otherwise batched
+    XLA sweeps with host f64 refinement. `sym` reuses the A'A (or AA')
+    analysis across calls."""
+    from .factor import chol as _chol
+    from .symbolic import schol as _schol
+
+    m, n = a.m, a.n
+    Bm = np.asarray(B, dtype=np.float64)
+    at = ops.transpose(a)
+    g = ops.multiply(at, a) if m >= n else ops.multiply(a, at)
+    k = g.n
+    s = sym if sym is not None else _schol(g, order)
+
+    if Bm.ndim == 2 and Bm.shape[1] >= 8 and _serve_enabled():
+        from .ops.sptrsv_pallas import pallas_sweep_available
+
+        if pallas_sweep_available(k, Bm.shape[1], np.float32):
+            handles = s.__dict__.setdefault("_serve_handles", {})
+            h = handles.get("qr")
+            if h is None:
+                h = handles.setdefault("qr", qrsol_serve(a, sym=s))
+            X = np.asarray(h(Bm), np.float64)
+            # LS optimality oracle: A'(B - AX) ~ 0 (or B - AX ~ 0 for m<n)
+            r = Bm - _host_spmm(a, X)
+            opt = _host_spmm(at, r)
+            scale = max(1.0, float(np.abs(Bm).max()))
+            if float(np.abs(opt).max()) < 1e-8 * scale:
+                return X
+            # conditioning beyond f32 refinement: exact path below
+
+    nm = _chol(g, s)
+    mfp = getattr(s, "_mf_plan", None)
+    use_mf = (mfp is not None and "_cache_tree" in mfp.__dict__
+              and config.backend != "host")
+    pinv = np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None else None
+    tc = getattr(s, "_tri_cache", None)
+    if tc is None:
+        tc = {}
+        s._tri_cache = tc
+    p0 = None if use_mf else (tc.get(0)
+                              or tc.setdefault(0, tri_plan(nm.l, 0)))
+    p2 = None if use_mf else (tc.get(2)
+                              or tc.setdefault(2, tri_plan(nm.l, 2)))
+
+    def spd_solve(R):  # [k, nrhs] -> G^{-1} R
+        Z = np.zeros_like(R)
+        if pinv is not None:
+            Z[pinv] = R
+        else:
+            Z[:] = R
+        if use_mf:
+            from .factor.frontal import solve_mf
+
+            Z = solve_mf(mfp, Z)
+        else:
+            Z = lsolve_multi(nm.l, Z, p0)
+            Z = ltsolve_multi(nm.l, Z, p2)
+        out = np.zeros_like(Z)
+        if pinv is not None:
+            out[:] = np.asarray(Z)[pinv]
+        else:
+            out[:] = np.asarray(Z)
+        return out
+
+    if m >= n:
+        X = spd_solve(_host_spmm(at, Bm))
+        for _ in range(max(0, refine)):
+            X = X + spd_solve(_host_spmm(at, Bm - _host_spmm(a, X)))
+    else:
+        X = _host_spmm(at, spd_solve(Bm))
+        for _ in range(max(0, refine)):
+            X = X + _host_spmm(at, spd_solve(Bm - _host_spmm(a, X)))
+    return X
 
 
 def cholsol_ir(a: Sprs, b, order: int = 0, factor_dtype: str = "float32",

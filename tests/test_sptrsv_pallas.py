@@ -188,6 +188,32 @@ def test_qrsol_serve(wide):
     assert err1 < 1e-8, err1
 
 
+@pytest.mark.parametrize("wide", [False, True])
+def test_qrsol_multi(wide):
+    """qrsol_multi (batched CSNE) matches the dense oracle; the serving
+    branch (forced) agrees with the exact XLA branch."""
+    from rsparse_tpu.config import config
+
+    a = _tall_sparse(seed=8)
+    if wide:
+        a = rs.transpose(a)
+    m, n = a.m, a.n
+    rng = np.random.default_rng(19)
+    B = rng.standard_normal((m, 12))
+    want = np.linalg.lstsq(np.asarray(a.to_dense_np()), B, rcond=None)[0]
+    got = rs.qrsol_multi(a, B, 0)
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-8, err
+    old = config.serve_mixed
+    config.serve_mixed = "force"
+    try:
+        got2 = rs.qrsol_multi(a, B, 0)
+    finally:
+        config.serve_mixed = old
+    err2 = np.abs(got2 - want).max() / max(1.0, np.abs(want).max())
+    assert err2 < 1e-8, err2
+
+
 def test_lusol_serve():
     """lusol_serve handle (L+U Pallas sweeps + f64 refinement vs A) matches
     the exact lusol on a well-conditioned system (interpret on CPU)."""
