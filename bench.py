@@ -412,6 +412,59 @@ def bench_sptrsv(rs, native, jax, jnp):
     return rows / t_pal, t_xla / t_pal, t_host / t_pal
 
 
+def bench_spmm(rs, native, jax, jnp):
+    """Batched-RHS SpMM R = A@X[n,128] on a FULLY RANDOM 8000^2 pattern:
+    the Pallas streaming kernel (ops/spmm_pallas.py, one [1,128] row FMA
+    per entry) vs the reference shape in C++ (128 sequential gaxpy calls,
+    src/lib.rs:411-421)."""
+    from rsparse_tpu.data import Sprs
+    from rsparse_tpu.ops.spmm_pallas import _chpad, spmm_fn, spmm_plan
+
+    n = 8000
+    Ap, Ai, Ax = rand_csc(n, n, 52_000, seed=3)
+    nnz = len(Ax)
+    a = Sprs(nnz, n, n, Ap, Ai, Ax)
+    B = 128
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((n, B))
+
+    def cpp_once():
+        R = np.empty((B, n))
+        for j in range(B):
+            R[j] = native.gaxpy_host(n, n, Ap, Ai, Ax, X[:, j],
+                                     np.zeros(n))
+        return R
+
+    Rh = cpp_once()
+    t_cpp = min(_t(cpp_once) for _ in range(2))
+
+    plan = spmm_plan(a)
+    f = spmm_fn(plan)
+    vals = jnp.asarray(_chpad(Ax, np.float32))
+    Xd = jnp.asarray(X, jnp.float32)
+    # correctness anchor (f32)
+    one = np.asarray(f(vals, Xd), np.float64)
+    err = np.abs(one - Rh.T).max() / max(1.0, np.abs(Rh).max())
+    assert err < 1e-4, f"spmm kernel vs C++ gaxpy: {err}"
+    iters = 20
+
+    @jax.jit
+    def chain(v, xx):
+        def body(_, cur):
+            r = f(v, cur)
+            return r / jnp.max(jnp.abs(r))
+
+        return jax.lax.fori_loop(0, iters, body, xx)
+
+    float(jnp.sum(chain(vals, Xd)))
+    t0 = time.perf_counter()
+    cs = float(jnp.sum(chain(vals, Xd)))
+    t_dev = (time.perf_counter() - t0) / iters
+    assert np.isfinite(cs)
+    rows = nnz * B
+    return rows / t_dev, rows / t_cpp
+
+
 def bench_spgemm(rs, native, jax, jnp):
     """Device-resident DIA SpGEMM kernel (serving setting: operands and
     product live in HBM; one checksum readback ends the dependent chain)
@@ -498,6 +551,9 @@ def main():
     sgg_dev, sgg_cpp = bench_spgemm_general(jax, jnp, native)
     extra["spgemm_general_nnz_per_s"] = round(sgg_dev, 1)
     extra["spgemm_general_vs_cpp"] = round(sgg_dev / sgg_cpp, 3)
+    sm_dev, sm_cpp = bench_spmm(rs, native, jax, jnp)
+    extra["spmm_pallas_nnzrow_per_s"] = round(sm_dev, 1)
+    extra["spmm_vs_cpp"] = round(sm_dev / sm_cpp, 3)
     tr_rows, tr_vs_xla, tr_vs_cpp = bench_sptrsv(rs, native, jax, jnp)
     extra["sptrsv_pallas_nnzrow_per_s"] = round(tr_rows, 1)
     extra["sptrsv_pallas_vs_xla"] = round(tr_vs_xla, 3)

@@ -31,6 +31,7 @@ from .ops import (  # noqa: E402
     multiply,
     transpose,
     gaxpy,
+    gaxpy_multi,
     norm,
     scpmat,
     scxmat,
@@ -58,6 +59,7 @@ __all__ = [
     "multiply",
     "transpose",
     "gaxpy",
+    "gaxpy_multi",
     "norm",
     "scpmat",
     "scxmat",

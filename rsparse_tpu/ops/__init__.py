@@ -22,6 +22,7 @@ __all__ = [
     "multiply",
     "transpose",
     "gaxpy",
+    "gaxpy_multi",
     "norm",
     "scpmat",
     "scxmat",
@@ -141,6 +142,38 @@ def gaxpy(a: Sprs, x, y) -> list:
         a.m,
     )
     return list(np.asarray(r))
+
+
+def gaxpy_multi(a: Sprs, X, Y=None) -> np.ndarray:
+    """R = A@X (+ Y) for a dense RHS batch X [n, B] — the TPU serving shape
+    (the reference gaxpy is single-RHS, src/lib.rs:411-421; this is its
+    lane-aligned batched extension, matching the *_multi solver APIs).
+
+    f32 matrices within the VMEM budget run the Pallas streaming SpMM
+    kernel on TPU (ops/spmm_pallas.py — entry stream HBM->SMEM, one
+    [1, B] row FMA per entry; ~50x the XLA scatter lowering on arbitrary
+    patterns); everything else uses a vectorized host scatter."""
+    nz = a.nnz()
+    Xa = np.asarray(X)
+    if Xa.ndim != 2 or Xa.shape[0] != a.n:
+        raise ValueError(f"X must be [n={a.n}, B], got {Xa.shape}")
+    if config.use_pallas and np.dtype(a.x.dtype) == np.float32:
+        import jax
+
+        from .spmm_pallas import spmm_pallas, spmm_pallas_available
+
+        if ((jax.default_backend() == "tpu" or config.serve_mixed == "force")
+                and spmm_pallas_available(a.m, a.n, Xa.shape[1], np.float32)):
+            R = np.asarray(spmm_pallas(a, Xa))
+            if Y is not None:
+                R = R + np.asarray(Y, dtype=R.dtype)
+            return R
+    R = (np.zeros((a.m, Xa.shape[1]), dtype=a.x.dtype) if Y is None
+         else np.array(np.broadcast_to(np.asarray(Y, dtype=a.x.dtype),
+                                       (a.m, Xa.shape[1]))))
+    cols = _plan.col_ids(a.p, a.n)
+    np.add.at(R, a.i[:nz], a.x[:nz][:, None] * Xa[cols].astype(a.x.dtype))
+    return R
 
 
 def norm(a: Sprs) -> float:
