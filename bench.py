@@ -412,6 +412,52 @@ def bench_sptrsv(rs, native, jax, jnp):
     return rows / t_pal, t_xla / t_pal, t_host / t_pal
 
 
+def bench_serve_lu(rs, native, jax, jnp):
+    """Batched LU serving on the LARGEST reference asset (lusol_6, 8000^2):
+    lusol_serve's fused device program (f32 Pallas L/U sweeps + on-device
+    f64 refinement) vs the host engine's 128 sequential solves on its own
+    exact factors (the reference's only shape, src/lib.rs:672-683)."""
+    from rsparse_tpu.symbolic import sqr
+
+    A = rs.Sprs()
+    A.load("/root/reference/tests/assets/lusol_6.sprs")
+    n = A.n
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((n, 128))
+    s0 = sqr(A, 1, False)
+    Lp, Li, Lx, Up, Ui, Ux, pinv = native.lu_numeric(
+        n, A.p, A.i[: A.nnz()], A.x[: A.nnz()], s0.q, 1e-6, s0.lnz, s0.unz)
+    q = np.asarray(s0.q, np.int64)
+
+    def host_solves():
+        X = np.empty_like(B)
+        for j in range(B.shape[1]):
+            xx = np.zeros(n)
+            xx[pinv] = B[:, j]
+            native.lsolve_host(n, Lp, Li, Lx, xx)
+            native.usolve_host(n, Up, Ui, Ux, xx)
+            out = np.zeros(n)
+            out[q] = xx
+            X[:, j] = out
+        return X
+
+    Xh = host_solves()
+    t_host = min(_t(host_solves) for _ in range(2))
+    s = sqr(A, 1, False)
+    h = rs.lusol_serve(A, 1, 1e-6, sym=s)
+    Bd = jnp.asarray(B)
+    float(jnp.sum(h(Bd)))  # compile + warm
+
+    def dev_once():
+        return float(jnp.sum(h(Bd)))  # readback barrier (tunnel)
+
+    dev_once()
+    t_dev = min(_t(dev_once) for _ in range(3))
+    err = np.abs(np.asarray(h(Bd)) - Xh).max() / max(1.0, np.abs(Xh).max())
+    assert err < 1e-8, f"lusol_serve disagrees with host LU solves: {err}"
+    return t_dev, t_host
+
+
 def bench_spmm(rs, native, jax, jnp):
     """Batched-RHS SpMM R = A@X[n,128] on a FULLY RANDOM 8000^2 pattern:
     the Pallas streaming kernel (ops/spmm_pallas.py, one [1,128] row FMA
@@ -535,6 +581,9 @@ def main():
     sv_dev, sv_host = bench_serve(rs, native, jax, jnp)
     extra["cholsol_serve_wall_s"] = round(sv_dev, 4)
     extra["cholsol_serve_vs_cpp"] = round(sv_host / sv_dev, 3)
+    sl_dev, sl_host = bench_serve_lu(rs, native, jax, jnp)
+    extra["lusol_serve_wall_s"] = round(sl_dev, 4)
+    extra["lusol_serve_vs_cpp"] = round(sl_host / sl_dev, 3)
 
     # f32 kernel paths (Mosaic index plumbing wants i32)
     jax.config.update("jax_enable_x64", False)
