@@ -116,3 +116,53 @@ def test_cholsol_indefinite_raises():
     a = rs.Sprs.new_from_vec(d.tolist())
     with pytest.raises(rs.NotPositiveDefiniteError):
         rs.cholsol(a, [1.0] * n, 0)
+
+
+@pytest.mark.parametrize("seed,m,n,nrhs", [
+    (0, 40, 25, 9), (1, 25, 40, 12), (2, 60, 60, 16),
+])
+def test_qrsol_multi_random(seed, m, n, nrhs):
+    """Batched CSNE least-squares/minimum-norm vs numpy lstsq."""
+    rng = np.random.default_rng(300 + seed)
+    d = (rng.random((m, n)) < 0.3) * rng.standard_normal((m, n))
+    d += np.eye(m, n) * 3.0  # well-conditioned
+    a = rs.Sprs.new_from_vec(d.tolist())
+    B = rng.standard_normal((m, nrhs))
+    X = rs.qrsol_multi(a, B, 0)
+    want = np.linalg.lstsq(d, B, rcond=None)[0]
+    np.testing.assert_allclose(X, want, rtol=1e-7, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed,m,n,nrhs", [(0, 35, 50, 7), (1, 80, 20, 3)])
+def test_gaxpy_multi_random(seed, m, n, nrhs):
+    """Batched SpMV vs dense matmul, with and without the Y addend."""
+    rng = np.random.default_rng(400 + seed)
+    d = (rng.random((m, n)) < 0.2) * rng.standard_normal((m, n))
+    a = rs.Sprs.new_from_vec(d.tolist())
+    X = rng.standard_normal((n, nrhs))
+    Y = rng.standard_normal((m, nrhs))
+    np.testing.assert_allclose(rs.gaxpy_multi(a, X), d @ X,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(rs.gaxpy_multi(a, X, Y), d @ X + Y,
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed,n,nrhs", [(0, 40, 10), (1, 90, 24)])
+def test_serve_handles_random_spd(seed, n, nrhs):
+    """cholsol_serve on random SPD systems (forced interpreter path)."""
+    from rsparse_tpu.config import config
+
+    rng = np.random.default_rng(500 + seed)
+    m_ = (rng.random((n, n)) < 0.12) * rng.standard_normal((n, n))
+    d = m_ @ m_.T + np.eye(n) * (3.0 + n * 0.05)
+    a = rs.Sprs.new_from_vec(d.tolist())
+    B = rng.standard_normal((n, nrhs))
+    old = config.serve_mixed
+    config.serve_mixed = "force"
+    try:
+        h = rs.cholsol_serve(a, 0)
+        X = np.asarray(h(B), np.float64)
+    finally:
+        config.serve_mixed = old
+    want = np.linalg.solve(d, B)
+    np.testing.assert_allclose(X, want, rtol=1e-8, atol=1e-8)
