@@ -1116,13 +1116,16 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float, mixed: bool = False):
     # well below 1; 1e10 leaves two orders of safety). The drivers verify
     # the actual residual and fall back to the host engine's exact global
     # pivoting if refinement diverges (solve._lu_mf_refine).
-    stats_h = np.asarray(stats)
+    # one batched transfer for both accept stats and the pivot perms (the
+    # perms are wasted only on the rare reject; a second tunnel round-trip
+    # costs ~25 ms — measured — so optimistic batching wins)
+    stats_h, perm_h = jax.device_get((stats, perm_cat))
     worst_min = float(stats_h[0]) + float(tol)
     if bool(stats_h[1]) or not (worst_min >= 1e-10):
         plan.__dict__.pop("_cache_tree", None)
         return None
-    # host finalize: compose pivot perms -> labels + pinv (ONE perm readback)
-    elim, cache, _ = _finalize_cache(plan, cache, np.asarray(perm_cat))
+    # host finalize: compose pivot perms -> labels + pinv
+    elim, cache, _ = _finalize_cache(plan, cache, np.asarray(perm_h))
     plan.__dict__["_cache_tree"] = cache
     einv = np.empty(plan.n, dtype=np.int64)
     einv[elim] = np.arange(plan.n)
