@@ -721,6 +721,12 @@ def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
     mfp = getattr(s, "_mf_lu_plan", None)
     if (mfp is not None and "_cache_tree" in mfp.__dict__
             and config.backend != "host"):
+        fused = _lu_mf_solve_fused(a, s, nm, mfp, Bm)
+        if fused is not None:
+            Xf, rmax, xmax = fused
+            scale = max(float(np.abs(Bm).max()), xmax, 1.0)
+            if rmax <= 1e-10 * scale:
+                return Xf
         from .factor.frontal_lu import solve_lu_mf
 
         X = solve_lu_mf(mfp, X)
@@ -1088,6 +1094,14 @@ def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6,
         mfp = getattr(s, "_mf_lu_plan", None)
         if (mfp is not None and "_cache_tree" in mfp.__dict__
                 and config.backend != "host"):
+            fused = _lu_mf_solve_fused(a, s, nm, mfp, bb[:, None])
+            if fused is not None:
+                Xf, rmax, xmax = fused
+                scale = max(float(np.abs(bb).max()), xmax, 1.0)
+                if rmax <= 1e-10 * scale:
+                    out = Xf[:, 0]
+                    _writeback(b, out)
+                    return out
             from .factor.frontal_lu import solve_lu_mf
 
             x = solve_lu_mf(mfp, x[:, None])[:, 0]
@@ -1111,6 +1125,79 @@ def _host_spmm(a: Sprs, X: np.ndarray) -> np.ndarray:
     R = np.zeros((a.m, X.shape[1]), dtype=np.float64)
     np.add.at(R, a.i[:nz], a.x[:nz][:, None] * X[cols])
     return R
+
+
+def _lu_mf_solve_fused(a: Sprs, s, nm, mfp, Bm: np.ndarray,
+                       steps: int = 2):
+    """ONE fused device program for the MF-LU solve + `steps` f64
+    refinement iterations: row permute, tree solves, COO residual SpMVs
+    and the keep-best-iterate guard all run on device, ending in a single
+    batched readback — instead of one tunnel round-trip per refinement
+    step (solve_lu_mf + host residuals). Returns (X[n, nrhs], final
+    residual max, |X| max) or None when no device tree is cached; the
+    caller verifies the residual and falls back to the step-by-step
+    `_lu_mf_refine` (and ultimately the host-exact engine) if refinement
+    fell short."""
+    import jax
+    import jax.numpy as jnp
+
+    from .factor.frontal_lu import (_collect_lu_sdev, _prep_lu_solve_indices,
+                                    _solve_lu_mf_dev)
+
+    tree = mfp.__dict__.get("_cache_tree")
+    if tree is None:
+        return None
+    _prep_lu_solve_indices(mfp)
+    n = a.n
+    nz = a.nnz()
+    pat = mfp.__dict__.get("_fused_solve_pattern")
+    if pat is None:
+        pat = (jnp.asarray(a.i[:nz].astype(np.int32)),
+               jnp.asarray(col_ids(a.p, n).astype(np.int32)))
+        mfp.__dict__["_fused_solve_pattern"] = pat
+    Mi, Mj = pat
+    # values and permutations refresh per call (sym reuse changes values;
+    # pivoting can change pinv); the pattern tensors above stay resident
+    Mx = jnp.asarray(np.asarray(a.x[:nz], np.float64))
+    pin = jnp.asarray(np.asarray(nm.pinv, np.int64))
+    qv = jnp.asarray(np.asarray(s.q, np.int64)) if s.q is not None else None
+    fn = mfp.__dict__.get("_fused_solve_jit")
+    if fn is None:
+        def run(B, cache, sdev, Mi_, Mj_, Mx_, pin_, *qopt):
+            q_ = qopt[0] if qopt else None
+            ft = cache[1].dtype
+            nrhs = B.shape[1]
+
+            def solve_once(R):  # original row order -> original col order
+                Z = jnp.zeros((n, nrhs), jnp.float64).at[pin_].set(R)
+                Y = _solve_lu_mf_dev(mfp, Z.astype(ft), cache, sdev)
+                Y = Y.astype(jnp.float64)
+                if q_ is None:
+                    return Y
+                return jnp.zeros((n, nrhs), jnp.float64).at[q_].set(Y)
+
+            def amul(X):
+                return jnp.zeros((n, nrhs), jnp.float64).at[Mi_].add(
+                    Mx_[:, None] * X[Mj_])
+
+            B64 = B.astype(jnp.float64)
+            X = solve_once(B64)
+            r = B64 - amul(X)
+            for _ in range(steps):
+                X2 = X + solve_once(r)
+                r2 = B64 - amul(X2)
+                better = jnp.max(jnp.abs(r2)) < jnp.max(jnp.abs(r))
+                X = jnp.where(better, X2, X)
+                r = jnp.where(better, r2, r)
+            return X, jnp.max(jnp.abs(r)), jnp.max(jnp.abs(X))
+
+        fn = jax.jit(run)
+        mfp.__dict__["_fused_solve_jit"] = fn
+    args = [jnp.asarray(Bm), tree, _collect_lu_sdev(mfp), Mi, Mj, Mx, pin]
+    if qv is not None:
+        args.append(qv)
+    X, rmax, xmax = jax.device_get(fn(*args))
+    return np.asarray(X, np.float64), float(rmax), float(xmax)
 
 
 def _lu_mf_refine(a: Sprs, s, nm, mfp, B: np.ndarray, X: np.ndarray,
