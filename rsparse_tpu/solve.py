@@ -1057,6 +1057,17 @@ def cholsol(a: Sprs, b, order: int = 0, *, sym: Optional[Symb] = None):
         mf_active = (mfp is not None and "_cache_tree" in mfp.__dict__
                      and config.backend != "host")
         if mf_active:
+            if mfp.__dict__["_cache_tree"][1].dtype == np.float32:
+                # mixed precision: fuse solve + f64 refinement into one
+                # device program (single readback — see _lu_mf_solve_fused)
+                fused = _chol_mf_solve_fused(a, s, mfp, bb[:, None])
+                if fused is not None:
+                    Xf, rmax, xmax = fused
+                    scale = max(float(np.abs(bb).max()), xmax, 1.0)
+                    if rmax <= 1e-10 * scale:
+                        out = Xf[:, 0]
+                        _writeback(b, out)
+                        return out
             from .factor.frontal import solve_mf
 
             x = solve_mf(mfp, x[:, None])[:, 0]
@@ -1259,6 +1270,70 @@ def _lu_mf_refine(a: Sprs, s, nm, mfp, B: np.ndarray, X: np.ndarray,
             cols_out[:, k] = o
         Xm = cols_out
     return Xm[:, 0] if single else Xm
+
+
+def _chol_mf_solve_fused(a: Sprs, s, mfp, Bm: np.ndarray, steps: int = 2):
+    """Cholesky mirror of `_lu_mf_solve_fused`: ipvec, MF tree solves,
+    COO residual SpMVs (against A — symmetric full-stored per the
+    reference's cholsol contract) and the keep-best guard in ONE device
+    program with a single batched readback. Returns (X, rmax, xmax) or
+    None when no device tree is cached."""
+    import jax
+    import jax.numpy as jnp
+
+    from .factor.frontal import _prep_solve_indices, _solve_mf_dev
+
+    tree = mfp.__dict__.get("_cache_tree")
+    if tree is None:
+        return None
+    _prep_solve_indices(mfp)
+    n = a.n
+    nz = a.nnz()
+    pat = mfp.__dict__.get("_fused_solve_pattern")
+    if pat is None:
+        pat = (jnp.asarray(a.i[:nz].astype(np.int32)),
+               jnp.asarray(col_ids(a.p, n).astype(np.int32)))
+        mfp.__dict__["_fused_solve_pattern"] = pat
+    Mi, Mj = pat
+    Mx = jnp.asarray(np.asarray(a.x[:nz], np.float64))
+    pv = jnp.asarray(np.asarray(s.pinv, np.int64)) if s.pinv is not None \
+        else None
+    fn = mfp.__dict__.get("_fused_solve_jit")
+    if fn is None:
+        def run(B, cache, Mi_, Mj_, Mx_, *popt):
+            p_ = popt[0] if popt else None
+            ft = cache[1].dtype
+            nrhs = B.shape[1]
+
+            def solve_once(R):  # original order in and out
+                Z = (R if p_ is None else
+                     jnp.zeros((n, nrhs), jnp.float64).at[p_].set(R))
+                Y = _solve_mf_dev(mfp, Z.astype(ft), cache)
+                Y = Y.astype(jnp.float64)
+                return Y if p_ is None else Y[p_]
+
+            def amul(X):
+                return jnp.zeros((n, nrhs), jnp.float64).at[Mi_].add(
+                    Mx_[:, None] * X[Mj_])
+
+            B64 = B.astype(jnp.float64)
+            X = solve_once(B64)
+            r = B64 - amul(X)
+            for _ in range(steps):
+                X2 = X + solve_once(r)
+                r2 = B64 - amul(X2)
+                better = jnp.max(jnp.abs(r2)) < jnp.max(jnp.abs(r))
+                X = jnp.where(better, X2, X)
+                r = jnp.where(better, r2, r)
+            return X, jnp.max(jnp.abs(r)), jnp.max(jnp.abs(X))
+
+        fn = jax.jit(run)
+        mfp.__dict__["_fused_solve_jit"] = fn
+    args = [jnp.asarray(Bm), tree, Mi, Mj, Mx]
+    if pv is not None:
+        args.append(pv)
+    X, rmax, xmax = jax.device_get(fn(*args))
+    return np.asarray(X, np.float64), float(rmax), float(xmax)
 
 
 def _chol_mf_refine(a: Sprs, s, mfp, B: np.ndarray, X: np.ndarray,
