@@ -467,8 +467,13 @@ def _make_serve_handle(n: int, chain, pin, pout, Mi, Mj, Mx,
 
     def handle(B):
         Bd = jnp.asarray(B)
-        return run(Bd, Mi_d, Mj_d, Mx_d, *flat, *pargs,
-                   nrhs=int(Bd.shape[1]))
+        nrhs = int(Bd.shape[1])
+        if not pallas_sweep_available(n, nrhs, np.float32):
+            raise ValueError(
+                f"serve handle unavailable for n={n}, nrhs={nrhs}: the "
+                "factor exceeds the Pallas VMEM budget — use the *_multi "
+                "drivers (XLA sweeps) for this problem size")
+        return run(Bd, Mi_d, Mj_d, Mx_d, *flat, *pargs, nrhs=nrhs)
 
     handle.available = pallas_sweep_available(n, 128, np.float32)
     return handle
@@ -647,8 +652,13 @@ def qrsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
 
     def handle(B):
         Bd = jnp.asarray(B)
-        return run(Bd, Mi_d, Mj_d, Mx_d, *flat, *pargs,
-                   nrhs=int(Bd.shape[1]))
+        nrhs = int(Bd.shape[1])
+        if not pallas_sweep_available(k, nrhs, np.float32):
+            raise ValueError(
+                f"qrsol_serve handle unavailable for k={k}, nrhs={nrhs}: "
+                "the Gram factor exceeds the Pallas VMEM budget — use "
+                "qrsol_multi (XLA sweeps) for this problem size")
+        return run(Bd, Mi_d, Mj_d, Mx_d, *flat, *pargs, nrhs=nrhs)
 
     handle.available = pallas_sweep_available(k, 128, np.float32)
     handle.sym = s

@@ -237,3 +237,20 @@ def test_lusol_serve():
     ad = np.asarray(a.to_dense_np())
     resid = np.abs(ad @ got - B).max()
     assert resid < 1e-9 * max(1.0, np.abs(B).max()), resid
+
+
+def test_serve_handle_budget_error():
+    """Over-budget calls fail with a clear message, not a Mosaic crash."""
+    from rsparse_tpu.config import config
+
+    a = rs.Sprs.new_from_file(f"{ASSETS}/cholsol_1.sprs")
+    old = config.serve_mixed
+    config.serve_mixed = "force"
+    try:
+        h = rs.cholsol_serve(a, 0)
+        # tiny problem: available at sane widths, rejected at absurd ones
+        assert h.available
+        with pytest.raises(ValueError, match="VMEM budget"):
+            h(np.ones((a.n, 3_000_000)))
+    finally:
+        config.serve_mixed = old
