@@ -157,20 +157,28 @@ def gaxpy_multi(a: Sprs, X, Y=None) -> np.ndarray:
     Xa = np.asarray(X)
     if Xa.ndim != 2 or Xa.shape[0] != a.n:
         raise ValueError(f"X must be [n={a.n}, B], got {Xa.shape}")
+    nrhs = Xa.shape[1]
+    Ya = None
+    if Y is not None:
+        Ya = np.asarray(Y)
+        if Ya.ndim == 1 and Ya.shape[0] == a.m:
+            Ya = Ya[:, None]  # per-row addend (gaxpy-style), every column
+        elif Ya.shape != (a.m, nrhs):
+            raise ValueError(
+                f"Y must be [m={a.m}, {nrhs}] or [m], got {Ya.shape}")
     if config.use_pallas and np.dtype(a.x.dtype) == np.float32:
         import jax
 
         from .spmm_pallas import spmm_pallas, spmm_pallas_available
 
         if ((jax.default_backend() == "tpu" or config.serve_mixed == "force")
-                and spmm_pallas_available(a.m, a.n, Xa.shape[1], np.float32)):
+                and spmm_pallas_available(a.m, a.n, nrhs, np.float32)):
             R = np.asarray(spmm_pallas(a, Xa))
-            if Y is not None:
-                R = R + np.asarray(Y, dtype=R.dtype)
+            if Ya is not None:
+                R = R + Ya.astype(R.dtype)
             return R
-    R = (np.zeros((a.m, Xa.shape[1]), dtype=a.x.dtype) if Y is None
-         else np.array(np.broadcast_to(np.asarray(Y, dtype=a.x.dtype),
-                                       (a.m, Xa.shape[1]))))
+    R = (np.zeros((a.m, nrhs), dtype=a.x.dtype) if Ya is None
+         else np.array(np.broadcast_to(Ya.astype(a.x.dtype), (a.m, nrhs))))
     cols = _plan.col_ids(a.p, a.n)
     np.add.at(R, a.i[:nz], a.x[:nz][:, None] * Xa[cols].astype(a.x.dtype))
     return R

@@ -154,22 +154,12 @@ def spmm_fn(plan):
     return f
 
 
-_SPMM_PLAN_CACHE: dict = {}
-
-
 def spmm_plan_cached(a: Sprs):
     """Pattern-keyed plan cache (repeated SpMM on one pattern skips the
-    stream build)."""
-    from .plan import pattern_key
+    stream build); shares ops.plan's LRU."""
+    from .plan import _cached_plan
 
-    key = pattern_key(a)
-    plan = _SPMM_PLAN_CACHE.get(key)
-    if plan is None:
-        if len(_SPMM_PLAN_CACHE) > 64:
-            _SPMM_PLAN_CACHE.clear()
-        plan = spmm_plan(a)
-        _SPMM_PLAN_CACHE[key] = plan
-    return plan
+    return _cached_plan("spmm", spmm_plan, a)
 
 
 def spmm_pallas(a: Sprs, X):

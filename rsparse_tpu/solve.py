@@ -466,14 +466,14 @@ def _make_serve_handle(n: int, chain, pin, pout, Mi, Mj, Mx,
         [pout_d] if pout_d is not None else [])
 
     def handle(B):
-        Bd = jnp.asarray(B)
-        nrhs = int(Bd.shape[1])
+        nrhs = int(np.shape(B)[1])  # budget check BEFORE any device transfer
         if not pallas_sweep_available(n, nrhs, np.float32):
             raise ValueError(
                 f"serve handle unavailable for n={n}, nrhs={nrhs}: the "
                 "factor exceeds the Pallas VMEM budget — use the *_multi "
                 "drivers (XLA sweeps) for this problem size")
-        return run(Bd, Mi_d, Mj_d, Mx_d, *flat, *pargs, nrhs=nrhs)
+        return run(jnp.asarray(B), Mi_d, Mj_d, Mx_d, *flat, *pargs,
+                   nrhs=nrhs)
 
     handle.available = pallas_sweep_available(n, 128, np.float32)
     return handle
@@ -651,14 +651,14 @@ def qrsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
     pargs = [pin_d] if pin_d is not None else []
 
     def handle(B):
-        Bd = jnp.asarray(B)
-        nrhs = int(Bd.shape[1])
+        nrhs = int(np.shape(B)[1])  # budget check BEFORE any device transfer
         if not pallas_sweep_available(k, nrhs, np.float32):
             raise ValueError(
                 f"qrsol_serve handle unavailable for k={k}, nrhs={nrhs}: "
                 "the Gram factor exceeds the Pallas VMEM budget — use "
                 "qrsol_multi (XLA sweeps) for this problem size")
-        return run(Bd, Mi_d, Mj_d, Mx_d, *flat, *pargs, nrhs=nrhs)
+        return run(jnp.asarray(B), Mi_d, Mj_d, Mx_d, *flat, *pargs,
+                   nrhs=nrhs)
 
     handle.available = pallas_sweep_available(k, 128, np.float32)
     handle.sym = s
@@ -680,10 +680,13 @@ def _serve_sweeps_mixed(a: Sprs, s, nm, Bm: np.ndarray):
             or not isinstance(nm.l.x, np.ndarray)
             or not pallas_sweep_available(n, nrhs, np.float32)):
         return None
+    fp = _values_fp(a)
     handles = s.__dict__.setdefault("_serve_handles", {})
     h = handles.get("chol")
-    if h is None:
-        h = handles.setdefault("chol", cholsol_serve(a, sym=s))
+    if h is None or getattr(h, "_values_fp", None) != fp:
+        h = cholsol_serve(a, sym=s)
+        h._values_fp = fp
+        handles["chol"] = h
     X = np.asarray(h(Bm), np.float64)
     # verify against the matrix chol actually factored (symmetrized triu
     # of PAP' — for symmetric inputs that is A itself)
@@ -840,28 +843,38 @@ def qrsol_multi(a: Sprs, B, order: int = 0, refine: int = 2,
 
     m, n = a.m, a.n
     Bm = np.asarray(B, dtype=np.float64)
-    at = ops.transpose(a)
-    g = ops.multiply(at, a) if m >= n else ops.multiply(a, at)
-    k = g.n
-    s = sym if sym is not None else _schol(g, order)
+    k = n if m >= n else m  # Gram dimension, without building the Gram
+    s = sym
+    at = g = None
+    if s is None:
+        at = ops.transpose(a)
+        g = ops.multiply(at, a) if m >= n else ops.multiply(a, at)
+        s = _schol(g, order)
 
     if Bm.ndim == 2 and Bm.shape[1] >= 8 and _serve_enabled():
         from .ops.sptrsv_pallas import pallas_sweep_available
 
         if pallas_sweep_available(k, Bm.shape[1], np.float32):
+            # serving hot path: cached handle keyed by refine depth,
+            # invalidated when A's values change under sym reuse
+            fp = _values_fp(a)
             handles = s.__dict__.setdefault("_serve_handles", {})
-            h = handles.get("qr")
-            if h is None:
-                h = handles.setdefault("qr", qrsol_serve(a, sym=s))
+            h = handles.get(("qr", refine))
+            if h is None or getattr(h, "_values_fp", None) != fp:
+                h = qrsol_serve(a, sym=s, refine=refine)
+                h._values_fp = fp
+                handles[("qr", refine)] = h
             X = np.asarray(h(Bm), np.float64)
             # LS optimality oracle: A'(B - AX) ~ 0 (or B - AX ~ 0 for m<n)
-            r = Bm - _host_spmm(a, X)
-            opt = _host_spmm(at, r)
+            opt = _host_spmm_t(a, Bm - _host_spmm(a, X))
             scale = max(1.0, float(np.abs(Bm).max()))
             if float(np.abs(opt).max()) < 1e-8 * scale:
                 return X
             # conditioning beyond f32 refinement: exact path below
 
+    if g is None:
+        at = ops.transpose(a)
+        g = ops.multiply(at, a) if m >= n else ops.multiply(a, at)
     nm = _chol(g, s)
     mfp = getattr(s, "_mf_plan", None)
     use_mf = (mfp is not None and "_cache_tree" in mfp.__dict__
@@ -1146,6 +1159,23 @@ def _host_spmm(a: Sprs, X: np.ndarray) -> np.ndarray:
     R = np.zeros((a.m, X.shape[1]), dtype=np.float64)
     np.add.at(R, a.i[:nz], a.x[:nz][:, None] * X[cols])
     return R
+
+
+def _host_spmm_t(a: Sprs, R: np.ndarray) -> np.ndarray:
+    """Z = A' @ R for R [m, B] via A's own entry stream (no transpose)."""
+    nz = a.nnz()
+    cols = col_ids(a.p, a.n)
+    Z = np.zeros((a.n, R.shape[1]), dtype=np.float64)
+    np.add.at(Z, cols, a.x[:nz][:, None] * R[a.i[:nz]])
+    return Z
+
+
+def _values_fp(a: Sprs):
+    """Cheap value fingerprint for serve-handle invalidation: a cached
+    handle bakes A's values and factor at build time, so sym-reuse with
+    refreshed values must rebuild it (O(nnz) hash per call)."""
+    nz = a.nnz()
+    return (nz, hash(np.ascontiguousarray(a.x[:nz]).tobytes()))
 
 
 def _lu_mf_solve_fused(a: Sprs, s, nm, mfp, Bm: np.ndarray,

@@ -93,3 +93,45 @@ def test_gaxpy_multi_pallas_dispatch():
     err = np.abs(np.asarray(got, np.float64) - want).max() / max(
         1.0, np.abs(want).max())
     assert err < 1e-5, err
+
+
+def test_gaxpy_multi_y_shapes():
+    """Y semantics: [m, B] exact, [m] broadcasts per-row (gaxpy-style
+    down columns, NOT across); wrong shapes raise."""
+    d = np.array([[1.0, 0.0], [2.0, 3.0], [0.0, 4.0]])
+    a = rs.Sprs.new_from_vec(d.tolist())
+    X = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    y1 = np.array([10.0, 20.0, 30.0])  # per-row addend
+    got = rs.gaxpy_multi(a, X, y1)
+    want = d @ X + y1[:, None]
+    np.testing.assert_allclose(got, want, rtol=1e-14)
+    with pytest.raises(ValueError):
+        rs.gaxpy_multi(a, X, np.ones((2, 3)))  # wrong m
+    with pytest.raises(ValueError):
+        rs.gaxpy_multi(a, X, np.ones((3, 2)))  # wrong B
+    with pytest.raises(ValueError):
+        rs.gaxpy_multi(a, X, np.ones(2))  # wrong 1-D length
+
+
+def test_serve_handle_value_invalidation():
+    """sym reuse with refreshed values must rebuild the cached serve
+    handle, not silently lose the serving path (or return stale x)."""
+    from rsparse_tpu.config import config
+    from bench import laplacian_5pt
+
+    n, p, i, x = laplacian_5pt(8)
+    a1 = rs.Sprs(len(x), n, n, p, i, x)
+    a2 = rs.Sprs(len(x), n, n, p.copy(), i.copy(), x * 2.0)  # same pattern
+    rng = np.random.default_rng(23)
+    B = rng.standard_normal((n, 16))
+    old = config.serve_mixed
+    config.serve_mixed = "force"
+    try:
+        s = rs.schol(a1, 0)
+        X1 = rs.cholsol_multi(a1, B, 0, sym=s)
+        X2 = rs.cholsol_multi(a2, B, 0, sym=s)  # values changed, same sym
+    finally:
+        config.serve_mixed = old
+    d1 = np.asarray(a1.to_dense_np())
+    assert np.abs(d1 @ X1 - B).max() < 1e-9 * max(1.0, np.abs(B).max())
+    assert np.abs(2 * d1 @ X2 - B).max() < 1e-9 * max(1.0, np.abs(B).max())
