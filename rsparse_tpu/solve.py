@@ -591,6 +591,11 @@ def qrsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
     g = ops.multiply(at, a) if m >= n else ops.multiply(a, at)
     k = g.n
     s = sym if sym is not None else schol(g, order)
+    if sym is not None and s.parent is not None and len(s.parent) != k:
+        raise ValueError(
+            f"sym analyzes a {len(s.parent)}-dim system but the Gram "
+            f"matrix here is {k}x{k} (A'A for m>=n, AA' for m<n) — pass "
+            "schol of the matching Gram")
     nm = chol(g, s)
     lx = np.asarray(nm.l.x, np.float64)
     tc = getattr(s, "_tri_cache", None)

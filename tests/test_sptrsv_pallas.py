@@ -254,3 +254,12 @@ def test_serve_handle_budget_error():
             h(np.ones((a.n, 3_000_000)))
     finally:
         config.serve_mixed = old
+
+
+def test_qrsol_serve_wrong_gram_sym():
+    """Passing an analysis of the wrong Gram (A'A vs AA') raises clearly."""
+    a = _tall_sparse()  # m > n: Gram is A'A [n x n]
+    at = rs.transpose(a)
+    wrong = rs.schol(rs.multiply(a, at), 0)  # AA' [m x m]
+    with pytest.raises(ValueError, match="Gram"):
+        rs.qrsol_serve(a, 0, sym=wrong)
