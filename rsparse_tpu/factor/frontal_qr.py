@@ -388,19 +388,18 @@ def _qt_apply(plan: QRMFPlan, z, qs, sdevs):
     cvec = jnp.zeros((plan.n + 1, B), ft)
     cbz = jnp.zeros((plan.cbz_total + 1, B), ft)
     qi = 0
-    if True:
-        for (row_src, c_dst, cbz_dst) in sdevs:
-            zcat = jnp.concatenate([z, cbz])
-            src = jnp.where(row_src >= 0, row_src, z.shape[0] + plan.cbz_total)
-            zf = zcat[jnp.clip(src, 0, zcat.shape[0] - 1)]
-            zf = jnp.where((row_src >= 0)[..., None], zf, 0.0)
-            Q = qs[qi]
-            qi += 1
-            y = jnp.einsum("frk,frb->fkb", Q, zf)
-            cvec = cvec.at[jnp.where(c_dst >= 0, c_dst, plan.n)].set(
-                jnp.where((c_dst >= 0)[..., None], y, 0.0), mode="drop")
-            cbz = cbz.at[jnp.where(cbz_dst >= 0, cbz_dst, plan.cbz_total)].set(
-                jnp.where((cbz_dst >= 0)[..., None], y, 0.0), mode="drop")
+    for (row_src, c_dst, cbz_dst) in sdevs:
+        zcat = jnp.concatenate([z, cbz])
+        src = jnp.where(row_src >= 0, row_src, z.shape[0] + plan.cbz_total)
+        zf = zcat[jnp.clip(src, 0, zcat.shape[0] - 1)]
+        zf = jnp.where((row_src >= 0)[..., None], zf, 0.0)
+        Q = qs[qi]
+        qi += 1
+        y = jnp.einsum("frk,frb->fkb", Q, zf)
+        cvec = cvec.at[jnp.where(c_dst >= 0, c_dst, plan.n)].set(
+            jnp.where((c_dst >= 0)[..., None], y, 0.0), mode="drop")
+        cbz = cbz.at[jnp.where(cbz_dst >= 0, cbz_dst, plan.cbz_total)].set(
+            jnp.where((cbz_dst >= 0)[..., None], y, 0.0), mode="drop")
     return cvec[: plan.n]
 
 

@@ -133,53 +133,52 @@ def build_qr_plan(a: Sprs, s: Symb, level_batch: int = 1024) -> Optional[QRPlan]
         smax = _next_pow2(max(max(len(supports_all[k]) for k in lev_ks), 1))
         rmax = _next_pow2(max(max(len(refls_all[k]) for k in lev_ks), 1))
         vmax = _next_pow2(max(max(len(vrows_all[k]) for k in lev_ks), 1))
-        if True:
-            ks_all = np.asarray(lev_ks, dtype=np.int64)
-            for s0 in range(0, len(ks_all), level_batch):
-                ks = ks_all[s0 : s0 + level_batch]
-                K = len(ks)
-                Kp = _pow4(K)
-                supports = [supports_all[k] for k in ks]
-                refls = [refls_all[k] for k in ks]
-                vrows = [vrows_all[k] for k in ks]
-                Vmat_idx = np.full((Kp, smax, rmax), -1, dtype=np.int64)
-                beta_idx = np.full((Kp, rmax), -1, dtype=np.int64)
-                a_idx = np.full((Kp, smax), -1, dtype=np.int64)  # A values -> slots
-                rslot = np.full((Kp, rmax), smax, dtype=np.int64)  # slot of row j in S
-                rpos = np.full((Kp, rmax), rnz, dtype=np.int64)  # scatter into Rx
-                vslot = np.full((Kp, vmax), smax, dtype=np.int64)  # V(:,k) slots in S
-                vposk = np.full((Kp, vmax), vnz, dtype=np.int64)  # scatter into Vx
-                dpos = np.full(Kp, rnz, dtype=np.int64)  # R(k,k) position
-                bpos = np.full(Kp, n, dtype=np.int64)  # beta[k] position
-                for t, k in enumerate(ks):
-                    S = supports[t]
-                    slot_of = {row: idx for idx, row in enumerate(S)}
-                    # A(:, q[k]) scatter — rows map through pinv
-                    col = int(q[k]) if q is not None else int(k)
-                    for p_ in range(int(a.p[col]), int(a.p[col + 1])):
-                        i = int(pinv_rows[a.i[p_]])
-                        a_idx[t, slot_of[i]] = p_
-                    for c_, j in enumerate(refls[t]):
-                        beta_idx[t, c_] = j
-                        rslot[t, c_] = slot_of[j]
-                        rpos[t, c_] = Rp[k] + c_
-                        for p_ in range(int(Vp[j]), int(Vp[j + 1])):
-                            row = int(Vi[p_])
-                            if row in slot_of:
-                                Vmat_idx[t, slot_of[row], c_] = p_
-                    for c_, row in enumerate(vrows[t]):
-                        vslot[t, c_] = slot_of[row]
-                        vposk[t, c_] = Vp[k] + c_
-                    dpos[t] = Rp[k + 1] - 1
-                    bpos[t] = k
-                vmask = np.zeros(Kp, dtype=bool)
-                vmask[:K] = True
-                levels.append(tuple(
-                    x.astype(np.int32) if x.dtype != bool else x
-                    for x in (Vmat_idx, beta_idx, a_idx, rslot, rpos,
-                              vslot, vposk, dpos, bpos)
-                ) + (vmask,))
-                total += Vmat_idx.size
+        ks_all = np.asarray(lev_ks, dtype=np.int64)
+        for s0 in range(0, len(ks_all), level_batch):
+            ks = ks_all[s0 : s0 + level_batch]
+            K = len(ks)
+            Kp = _pow4(K)
+            supports = [supports_all[k] for k in ks]
+            refls = [refls_all[k] for k in ks]
+            vrows = [vrows_all[k] for k in ks]
+            Vmat_idx = np.full((Kp, smax, rmax), -1, dtype=np.int64)
+            beta_idx = np.full((Kp, rmax), -1, dtype=np.int64)
+            a_idx = np.full((Kp, smax), -1, dtype=np.int64)  # A values -> slots
+            rslot = np.full((Kp, rmax), smax, dtype=np.int64)  # slot of row j in S
+            rpos = np.full((Kp, rmax), rnz, dtype=np.int64)  # scatter into Rx
+            vslot = np.full((Kp, vmax), smax, dtype=np.int64)  # V(:,k) slots in S
+            vposk = np.full((Kp, vmax), vnz, dtype=np.int64)  # scatter into Vx
+            dpos = np.full(Kp, rnz, dtype=np.int64)  # R(k,k) position
+            bpos = np.full(Kp, n, dtype=np.int64)  # beta[k] position
+            for t, k in enumerate(ks):
+                S = supports[t]
+                slot_of = {row: idx for idx, row in enumerate(S)}
+                # A(:, q[k]) scatter — rows map through pinv
+                col = int(q[k]) if q is not None else int(k)
+                for p_ in range(int(a.p[col]), int(a.p[col + 1])):
+                    i = int(pinv_rows[a.i[p_]])
+                    a_idx[t, slot_of[i]] = p_
+                for c_, j in enumerate(refls[t]):
+                    beta_idx[t, c_] = j
+                    rslot[t, c_] = slot_of[j]
+                    rpos[t, c_] = Rp[k] + c_
+                    for p_ in range(int(Vp[j]), int(Vp[j + 1])):
+                        row = int(Vi[p_])
+                        if row in slot_of:
+                            Vmat_idx[t, slot_of[row], c_] = p_
+                for c_, row in enumerate(vrows[t]):
+                    vslot[t, c_] = slot_of[row]
+                    vposk[t, c_] = Vp[k] + c_
+                dpos[t] = Rp[k + 1] - 1
+                bpos[t] = k
+            vmask = np.zeros(Kp, dtype=bool)
+            vmask[:K] = True
+            levels.append(tuple(
+                x.astype(np.int32) if x.dtype != bool else x
+                for x in (Vmat_idx, beta_idx, a_idx, rslot, rpos,
+                          vslot, vposk, dpos, bpos)
+            ) + (vmask,))
+            total += Vmat_idx.size
     return QRPlan(m2=m2, n=n, vnz=vnz, rnz=rnz, Vp=Vp, Vi=Vi, Rp=Rp, Ri=Ri,
                   levels=levels, plan_entries=total)
 

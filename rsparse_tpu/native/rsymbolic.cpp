@@ -1106,25 +1106,70 @@ void rt_utsolve(i64 n, const i64* Up, const i64* Ui, const double* Ux, double* x
 // descending, diag last), 2 = ltsolve (deps = rows>j in col j, descending),
 // 3 = utsolve (deps = rows<j in col j, ascending).
 // ---------------------------------------------------------------------------
+// Level schedule = longest path over the solve dependency DAG. For a factor
+// whose row labels are monotone within every column (the host engine's
+// output) a single index-ordered pass suffices, but the multifrontal LU's
+// elimination labels may CROSS front ranges after skeleton pivoting (entry
+// row-label < column for L): the dependency graph is still acyclic (it is a
+// relabeling of the execution dataflow), just not index-ordered. Kahn
+// topological relaxation handles both; index-triangular inputs get the
+// identical levels the old single pass produced. Returns -1 via level[0] if
+// a cycle is detected (corrupt factor) — callers raise.
 void rt_tri_levels(i64 n, const i64* Tp, const i64* Ti, int kind, i64* level) {
   std::fill(level, level + n, 0);
-  if (kind == 0) {  // col j updates rows > j (offdiag); diag first
+  if (n == 0) return;
+  // Edges: kinds 0/1 (scatter forms) col -> offdiag rows of its column;
+  // kinds 2/3 (gather forms) offdiag rows -> their column.
+  const bool scatter = (kind == 0 || kind == 1);
+  const i64 lo_off = (kind == 0 || kind == 2) ? 1 : 0;   // diag-first skip
+  const i64 hi_off = (kind == 0 || kind == 2) ? 0 : 1;   // diag-last skip
+  std::vector<i64> indeg(n, 0);
+  if (scatter) {
     for (i64 j = 0; j < n; j++)
-      for (i64 q = Tp[j] + 1; q < Tp[j + 1]; q++)
-        level[Ti[q]] = std::max(level[Ti[q]], level[j] + 1);
-  } else if (kind == 1) {  // col j updates rows < j; diag last
-    for (i64 j = n - 1; j >= 0; j--)
-      for (i64 q = Tp[j]; q < Tp[j + 1] - 1; q++)
-        level[Ti[q]] = std::max(level[Ti[q]], level[j] + 1);
-  } else if (kind == 2) {  // x[j] gathers rows > j of col j
-    for (i64 j = n - 1; j >= 0; j--)
-      for (i64 q = Tp[j] + 1; q < Tp[j + 1]; q++)
-        level[j] = std::max(level[j], level[Ti[q]] + 1);
-  } else {  // kind == 3: x[j] gathers rows < j of col j
+      for (i64 q = Tp[j] + lo_off; q < Tp[j + 1] - hi_off; q++)
+        indeg[Ti[q]]++;
+  } else {
     for (i64 j = 0; j < n; j++)
-      for (i64 q = Tp[j]; q < Tp[j + 1] - 1; q++)
-        level[j] = std::max(level[j], level[Ti[q]] + 1);
+      indeg[j] = (Tp[j + 1] - hi_off) - (Tp[j] + lo_off);
+    // gather forms need row -> column adjacency: build the transpose
   }
+  std::vector<i64> tadj_p, tadj_i;
+  if (!scatter) {
+    i64 nz = Tp[n];
+    tadj_p.assign(n + 1, 0);
+    tadj_i.resize(nz);
+    for (i64 j = 0; j < n; j++)
+      for (i64 q = Tp[j] + lo_off; q < Tp[j + 1] - hi_off; q++)
+        tadj_p[Ti[q] + 1]++;
+    for (i64 r = 0; r < n; r++) tadj_p[r + 1] += tadj_p[r];
+    std::vector<i64> w(tadj_p.begin(), tadj_p.end() - 1);
+    for (i64 j = 0; j < n; j++)
+      for (i64 q = Tp[j] + lo_off; q < Tp[j + 1] - hi_off; q++)
+        tadj_i[w[Ti[q]]++] = j;
+  }
+  std::vector<i64> queue;
+  queue.reserve(n);
+  for (i64 j = 0; j < n; j++)
+    if (indeg[j] == 0) queue.push_back(j);
+  i64 done = 0;
+  for (i64 head = 0; head < (i64)queue.size(); head++) {
+    i64 j = queue[head];
+    done++;
+    if (scatter) {
+      for (i64 q = Tp[j] + lo_off; q < Tp[j + 1] - hi_off; q++) {
+        i64 r = Ti[q];
+        if (level[r] < level[j] + 1) level[r] = level[j] + 1;
+        if (--indeg[r] == 0) queue.push_back(r);
+      }
+    } else {
+      for (i64 q = tadj_p[j]; q < tadj_p[j + 1]; q++) {
+        i64 r = tadj_i[q];
+        if (level[r] < level[j] + 1) level[r] = level[j] + 1;
+        if (--indeg[r] == 0) queue.push_back(r);
+      }
+    }
+  }
+  if (done != n) level[0] = -1;  // cycle: corrupt factor, caller raises
 }
 
 // ---------------------------------------------------------------------------

@@ -454,13 +454,37 @@ def _make_serve_handle(n: int, chain, pin, pout, Mi, Mj, Mx,
             Xs = Z[:n].astype(jnp.float64)
             return Xs if pout_d is None else Xs[perm[-1]]
 
+        def amul(X):
+            return jnp.zeros((n, nrhs), jnp.float64).at[Mi_].add(
+                Mx_[:, None] * X[Mj_])
+
         B64 = B.astype(jnp.float64)
         X = solve_full(B64)
-        for _ in range(max(0, refine)):
-            ax = jnp.zeros((n, nrhs), jnp.float64).at[Mi_].add(
-                Mx_[:, None] * X[Mj_])
-            X = X + solve_full(B64 - ax)
-        return X
+        r = B64 - amul(X)
+        rmax0 = jnp.max(jnp.abs(r))
+        scale = jnp.maximum(jnp.max(jnp.abs(B64)), 1.0)
+
+        # early-exit refinement: up to `refine` steps, keep the best
+        # iterate, stop once converged or stagnant — well-conditioned
+        # systems exit after one cheap check, weak static-pivot factors
+        # (element growth) get the extra contractions they need
+        def cond(st):
+            _, _, k, rmax, prev = st
+            return (k < refine) & (rmax > 1e-13 * scale) & (rmax < prev)
+
+        def body(st):
+            X, r, k, rmax, _ = st
+            X2 = X + solve_full(r)
+            r2 = B64 - amul(X2)
+            rmax2 = jnp.max(jnp.abs(r2))
+            better = rmax2 < rmax
+            X = jnp.where(better, X2, X)
+            r = jnp.where(better, r2, r)
+            return (X, r, k + 1, jnp.minimum(rmax2, rmax), rmax)
+
+        X, r, _, rmax, _ = jax.lax.while_loop(
+            cond, body, (X, r, 0, rmax0, jnp.inf))
+        return X, rmax
 
     pargs = ([pin_d] if pin_d is not None else []) + (
         [pout_d] if pout_d is not None else [])
@@ -472,15 +496,20 @@ def _make_serve_handle(n: int, chain, pin, pout, Mi, Mj, Mx,
                 f"serve handle unavailable for n={n}, nrhs={nrhs}: the "
                 "factor exceeds the Pallas VMEM budget — use the *_multi "
                 "drivers (XLA sweeps) for this problem size")
-        return run(jnp.asarray(B), Mi_d, Mj_d, Mx_d, *flat, *pargs,
-                   nrhs=nrhs)
+        X, rmax = run(jnp.asarray(B), Mi_d, Mj_d, Mx_d, *flat, *pargs,
+                      nrhs=nrhs)
+        # device scalar, read lazily: float(handle.last_residual) gates
+        # accuracy without forcing a sync on the serving hot path
+        handle.last_residual = rmax
+        return X
 
     handle.available = pallas_sweep_available(n, 128, np.float32)
+    handle.last_residual = None
     return handle
 
 
 def cholsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
-                  refine: int = 2):
+                  refine: int = 8):
     """Device-resident batched SPD solve handle: `h(B[n, nrhs]) -> X` with
     chol semantics (the factorization — and hence the refinement — uses the
     symmetrized upper triangle of PAP', exactly like the reference's
@@ -489,8 +518,11 @@ def cholsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
     One symbolic analysis + one factorization, then every `h(B)` call is a
     single fused device program: f32 Pallas SpTRSV sweeps
     (ops/sptrsv_pallas.py — the whole level schedule in one kernel) plus
-    `refine` steps of f64 iterative refinement against the symmetrized
-    matrix, all on device. B may be a numpy or jnp array; the result is a
+    up to `refine` early-exit steps of f64 iterative refinement against
+    the symmetrized matrix, all on device (converged systems stop after
+    one residual check). `h.last_residual` holds the final residual max as
+    a lazy device scalar — serving pipelines can gate accuracy without
+    forcing a sync. B may be a numpy or jnp array; the result is a
     jnp f64 array (keep it on device to avoid tunnel transfers — serving
     pipelines should produce/consume device arrays).
 
@@ -511,21 +543,7 @@ def cholsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
     p2 = tc.get(2) or tc.setdefault(2, tri_plan(nm.l, 2))
     pinv = (np.asarray(s.pinv, np.int64) if s.pinv is not None
             else None)
-    # symmetrized matrix: C = triu(PAP'); M = C + C' - D, conjugated back
-    # to original row order for the refinement residual
-    c = ops.symperm(a, s.pinv) if s.pinv is not None else ops.symperm(a, None)
-    nzc = c.nnz()
-    ci = c.i[:nzc].astype(np.int64)
-    cj = col_ids(c.p, n)
-    cx = np.asarray(c.x[:nzc], np.float64)
-    offd = ci != cj
-    Mi = np.concatenate([ci, cj[offd]])
-    Mj = np.concatenate([cj, ci[offd]])
-    Mx = np.concatenate([cx, cx[offd]])
-    if pinv is not None:
-        porder = np.argsort(pinv)  # permuted position -> original row
-        Mi = porder[Mi]
-        Mj = porder[Mj]
+    Mi, Mj, Mx = _sym_coo(a, s.pinv)
     h = _make_serve_handle(
         n, [(p0, lx, 0), (p2, lx, 2)], pinv, pinv,
         Mi.astype(np.int32), Mj.astype(np.int32), Mx, refine)
@@ -534,28 +552,60 @@ def cholsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
 
 
 def lusol_serve(a: Sprs, order: int = 1, tol: float = 1e-6, *,
-                sym: Optional[Symb] = None, refine: int = 2):
+                sym: Optional[Symb] = None, refine: int = 8):
     """Device-resident batched LU solve handle: `h(B[n, nrhs]) -> X` with
     lusol semantics (reference src/lib.rs:672-683: P from partial pivoting,
     Q from the fill-reducing column ordering).
 
-    Same serving design as `cholsol_serve`: f32 Pallas SpTRSV sweeps
-    (L then U) fused with on-device f64 iterative refinement against A."""
+    Same serving design as `cholsol_serve` (early-exit refinement,
+    `h.last_residual` gating): f32 Pallas SpTRSV sweeps (L then U) fused
+    with on-device f64 iterative refinement against A."""
     from .factor import lu
     from .symbolic import sqr
 
     n = a.n
     s = sym if sym is not None else sqr(a, order, False)
     nm = lu(a, s, tol)
-    lx = np.asarray(nm.l.x, np.float64)
-    ux = np.asarray(nm.u.x, np.float64)
-    p0 = tri_plan(nm.l, 0)
-    p1 = tri_plan(nm.u, 1)
+    lmat, umat = nm.l, nm.u
+    lmat.x = np.asarray(lmat.x)
+    umat.x = np.asarray(umat.x)
     pin = np.asarray(nm.pinv, np.int64) if nm.pinv is not None else None
+    nz = a.nnz()
+    # Factor-quality probe: static-pivot element growth can leave the MF
+    # factors too weak for the handle's refinement to contract (it stalls
+    # at ~growth*eps). One f64 sweep pair on a probe RHS measures the
+    # factor's actual solve accuracy; if it misses, rebuild the chain from
+    # the host engine's exact partial-pivoting factors (same escape hatch
+    # the lusol driver uses, moved to build time so every h(B) call is
+    # accurate).
+    rngp = np.random.default_rng(0)
+    bp = rngp.standard_normal((n, 2))
+    zp = np.zeros_like(bp)
+    if pin is not None:
+        zp[pin] = bp
+    else:
+        zp[:] = bp
+    zp = np.asarray(_tri_solve_multi(lmat, zp, 0))
+    zp = np.asarray(_tri_solve_multi(umat, zp, 1))
+    xp = np.zeros_like(zp)
+    if s.q is not None:
+        xp[np.asarray(s.q, np.int64)] = zp
+    else:
+        xp[:] = zp
+    probe_res = float(np.abs(_host_spmm(a, xp) - bp).max())
+    if probe_res > 1e-8 * max(1.0, float(np.abs(bp).max())):
+        Lp2, Li2, Lx2, Up2, Ui2, Ux2, pv = native.lu_numeric(
+            n, a.p, a.i[:nz], a.x[:nz], s.q, tol, s.lnz, s.unz)
+        lmat = Sprs(len(Lx2), n, n, Lp2, Li2, np.asarray(Lx2))
+        umat = Sprs(len(Ux2), n, n, Up2, Ui2, np.asarray(Ux2))
+        pin = np.asarray(pv, np.int64)
+    lx = np.asarray(lmat.x[: lmat.nnz()], np.float64)
+    ux = np.asarray(umat.x[: umat.nnz()], np.float64)
+    p0 = tri_plan(lmat, 0)
+    p1 = tri_plan(umat, 1)
     # out[q[i]] = xs[i]  <=>  out[j] = xs[qinv[j]]
     pout = (np.argsort(np.asarray(s.q, np.int64))
             if s.q is not None else None)
-    nz = a.nnz()
     Mi = a.i[:nz].astype(np.int32)
     Mj = col_ids(a.p, n).astype(np.int32)
     Mx = np.asarray(a.x[:nz], np.float64)
@@ -566,7 +616,7 @@ def lusol_serve(a: Sprs, order: int = 1, tol: float = 1e-6, *,
 
 
 def qrsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
-                refine: int = 2):
+                refine: int = 8):
     """Device-resident batched least-squares / minimum-norm solve handle:
     `h(B[m, nrhs]) -> X[n, nrhs]` with `qrsol_ls` (CSNE) semantics —
     min ||AX-B|| for m >= n, the minimum-norm solution for m < n.
@@ -643,15 +693,37 @@ def qrsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
                 Mx_[:, None] * R[Mi_])
 
         B64 = B.astype(jnp.float64)
-        if tall:
-            X = solve_gram(atr(B64))
-            for _ in range(max(0, refine)):
-                X = X + solve_gram(atr(B64 - ax(X)))
-        else:
-            X = atr(solve_gram(B64))
-            for _ in range(max(0, refine)):
-                X = X + atr(solve_gram(B64 - ax(X)))
-        return X
+
+        # CSNE correction from the current residual; convergence tracks the
+        # LS-optimality residual A'(B-AX) (tall) / the plain residual (wide)
+        def resid(X):
+            return atr(B64 - ax(X)) if tall else B64 - ax(X)
+
+        def correct(r):
+            return solve_gram(r) if tall else atr(solve_gram(r))
+
+        X = correct(atr(B64) if tall else B64)
+        r = resid(X)
+        rmax0 = jnp.max(jnp.abs(r))
+        scale = jnp.maximum(jnp.max(jnp.abs(B64)), 1.0)
+
+        def cond(st):
+            _, _, k, rmax, prev = st
+            return (k < refine) & (rmax > 1e-13 * scale) & (rmax < prev)
+
+        def body(st):
+            X, r, k, rmax, _ = st
+            X2 = X + correct(r)
+            r2 = resid(X2)
+            rmax2 = jnp.max(jnp.abs(r2))
+            better = rmax2 < rmax
+            X = jnp.where(better, X2, X)
+            r = jnp.where(better, r2, r)
+            return (X, r, k + 1, jnp.minimum(rmax2, rmax), rmax)
+
+        X, r, _, rmax, _ = jax.lax.while_loop(
+            cond, body, (X, r, 0, rmax0, jnp.inf))
+        return X, rmax
 
     pargs = [pin_d] if pin_d is not None else []
 
@@ -662,10 +734,13 @@ def qrsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
                 f"qrsol_serve handle unavailable for k={k}, nrhs={nrhs}: "
                 "the Gram factor exceeds the Pallas VMEM budget — use "
                 "qrsol_multi (XLA sweeps) for this problem size")
-        return run(jnp.asarray(B), Mi_d, Mj_d, Mx_d, *flat, *pargs,
-                   nrhs=nrhs)
+        X, rmax = run(jnp.asarray(B), Mi_d, Mj_d, Mx_d, *flat, *pargs,
+                      nrhs=nrhs)
+        handle.last_residual = rmax  # device scalar, read lazily
+        return X
 
     handle.available = pallas_sweep_available(k, 128, np.float32)
+    handle.last_residual = None
     handle.sym = s
     return handle
 
@@ -731,11 +806,6 @@ def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
     s = sym if sym is not None else sqr(a, order, False)
     nm = lu(a, s, tol, mixed=True)
     Bm = np.asarray(B, dtype=np.float64)
-    X = np.zeros_like(Bm)
-    if nm.pinv is not None:
-        X[np.asarray(nm.pinv, dtype=np.int64)] = Bm
-    else:
-        X[:] = Bm
     mfp = getattr(s, "_mf_lu_plan", None)
     if (mfp is not None and "_cache_tree" in mfp.__dict__
             and config.backend != "host"):
@@ -747,6 +817,11 @@ def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
                 return Xf
         from .factor.frontal_lu import solve_lu_mf
 
+        X = np.zeros_like(Bm)
+        if nm.pinv is not None:
+            X[np.asarray(nm.pinv, dtype=np.int64)] = Bm
+        else:
+            X[:] = Bm
         X = solve_lu_mf(mfp, X)
         out = np.zeros_like(X)
         if s.q is not None:
@@ -754,6 +829,11 @@ def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
         else:
             out[:] = X
         return _lu_mf_refine(a, s, nm, mfp, Bm, out)
+    X = np.zeros_like(Bm)
+    if nm.pinv is not None:
+        X[np.asarray(nm.pinv, dtype=np.int64)] = Bm
+    else:
+        X[:] = Bm
     X = lsolve_multi(nm.l, X)
     X = usolve_multi(nm.u, X)
     out = np.zeros_like(X)
@@ -1175,6 +1255,29 @@ def _host_spmm_t(a: Sprs, R: np.ndarray) -> np.ndarray:
     return Z
 
 
+def _sym_coo(a: Sprs, pinv):
+    """COO (original row order) of the SYMMETRIZED matrix chol actually
+    factored — triu(PAP') mirrored below the diagonal (reference cholsol
+    semantics: symperm keeps triu, src/lib.rs:2369-2408). Every
+    chol-family refinement residual must target this matrix, not the full
+    stored A (which may differ below the diagonal)."""
+    n = a.n
+    c = ops.symperm(a, pinv) if pinv is not None else ops.symperm(a, None)
+    nzc = c.nnz()
+    ci = c.i[:nzc].astype(np.int64)
+    cj = col_ids(c.p, n)
+    cx = np.asarray(c.x[:nzc], np.float64)
+    offd = ci != cj
+    Mi = np.concatenate([ci, cj[offd]])
+    Mj = np.concatenate([cj, ci[offd]])
+    Mx = np.concatenate([cx, cx[offd]])
+    if pinv is not None:
+        porder = np.argsort(np.asarray(pinv, np.int64))
+        Mi = porder[Mi]
+        Mj = porder[Mj]
+    return Mi, Mj, Mx
+
+
 def _values_fp(a: Sprs):
     """Cheap value fingerprint for serve-handle invalidation: a cached
     handle bakes A's values and factor at build time, so sym-reuse with
@@ -1319,10 +1422,10 @@ def _lu_mf_refine(a: Sprs, s, nm, mfp, B: np.ndarray, X: np.ndarray,
 
 def _chol_mf_solve_fused(a: Sprs, s, mfp, Bm: np.ndarray, steps: int = 2):
     """Cholesky mirror of `_lu_mf_solve_fused`: ipvec, MF tree solves,
-    COO residual SpMVs (against A — symmetric full-stored per the
-    reference's cholsol contract) and the keep-best guard in ONE device
-    program with a single batched readback. Returns (X, rmax, xmax) or
-    None when no device tree is cached."""
+    COO residual SpMVs (against the SYMMETRIZED matrix chol factored —
+    see _sym_coo) and the keep-best guard in ONE device program with a
+    single batched readback. Returns (X, rmax, xmax) or None when no
+    device tree is cached."""
     import jax
     import jax.numpy as jnp
 
@@ -1333,14 +1436,10 @@ def _chol_mf_solve_fused(a: Sprs, s, mfp, Bm: np.ndarray, steps: int = 2):
         return None
     _prep_solve_indices(mfp)
     n = a.n
-    nz = a.nnz()
-    pat = mfp.__dict__.get("_fused_solve_pattern")
-    if pat is None:
-        pat = (jnp.asarray(a.i[:nz].astype(np.int32)),
-               jnp.asarray(col_ids(a.p, n).astype(np.int32)))
-        mfp.__dict__["_fused_solve_pattern"] = pat
-    Mi, Mj = pat
-    Mx = jnp.asarray(np.asarray(a.x[:nz], np.float64))
+    Mi_h, Mj_h, Mx_h = _sym_coo(a, s.pinv)
+    Mi = jnp.asarray(Mi_h.astype(np.int32))
+    Mj = jnp.asarray(Mj_h.astype(np.int32))
+    Mx = jnp.asarray(Mx_h)
     pv = jnp.asarray(np.asarray(s.pinv, np.int64)) if s.pinv is not None \
         else None
     fn = mfp.__dict__.get("_fused_solve_jit")
@@ -1385,9 +1484,12 @@ def _chol_mf_refine(a: Sprs, s, mfp, B: np.ndarray, X: np.ndarray,
                     steps: int = 6):
     """Iterative refinement for the mixed-precision (f32) MF Cholesky —
     mirror of _lu_mf_refine with the cholsol permutation chain (x = P b,
-    solve, out = P' x; A symmetric, full-stored per the reference's cholsol
-    contract). Falls back to the host engine's f64 factorization if the f32
-    tree cannot reach an f64-level residual."""
+    solve, out = P' x). Residuals target the SYMMETRIZED matrix chol
+    actually factored (_sym_coo) — the reference's cholsol ignores the
+    strictly-lower stored triangle, so refining against full A would
+    silently change the answer for nonsymmetric-stored input. Falls back
+    to the host engine's f64 factorization if the f32 tree cannot reach
+    an f64-level residual."""
     from .factor.frontal import solve_mf
 
     n = a.n
@@ -1395,7 +1497,14 @@ def _chol_mf_refine(a: Sprs, s, mfp, B: np.ndarray, X: np.ndarray,
     Xm = X[:, None] if single else X
     Bm = B[:, None] if single else B
     pinv = np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None else None
-    r = Bm - _host_spmm(a, Xm)
+    Mi, Mj, Mx = _sym_coo(a, s.pinv)
+
+    def spmm_sym(Z):
+        R = np.zeros_like(Z)
+        np.add.at(R, Mi, Mx[:, None] * Z[Mj])
+        return R
+
+    r = Bm - spmm_sym(Xm)
     scale = max(np.abs(Bm).max(), np.abs(Xm).max(), 1.0)
     rmax = np.abs(r).max()
     for _ in range(max(0, steps)):
@@ -1409,7 +1518,7 @@ def _chol_mf_refine(a: Sprs, s, mfp, B: np.ndarray, X: np.ndarray,
         dz = solve_mf(mfp, z)
         upd = dz[pinv] if pinv is not None else dz  # pvec
         X2 = Xm + upd
-        r2 = Bm - _host_spmm(a, X2)
+        r2 = Bm - spmm_sym(X2)
         r2max = np.abs(r2).max()
         if r2max >= rmax:
             break

@@ -237,6 +237,10 @@ def qr_numeric(m, n, Ap, Ai, Ax, q, parent, pinv, m2, vnz_cap, rnz_cap):
 def tri_levels(n, Tp, Ti, kind: int) -> np.ndarray:
     level = np.empty(n, dtype=np.int64)
     _lib.rt_tri_levels(n, _c(Tp), _c(Ti), kind, level)
+    if n and level[0] == -1:
+        raise ValueError(
+            "triangular-solve dependency graph has a cycle — corrupt "
+            "factor (labels do not describe a valid elimination order)")
     return level
 
 

@@ -141,3 +141,37 @@ def test_mixed_f32_spurious_notpd_retries_f64(monkeypatch):
     assert calls["n"] >= 2  # f32 attempt + f64 retry
     r = np.abs(np.asarray(rs.gaxpy(a, x, [0.0] * n)) - b).max()
     assert r < 1e-9
+
+
+def test_mixed_cholsol_nonsymmetric_semantics():
+    """cholsol semantics: only triu(PAP') matters. The mixed-precision
+    (f32 tree + refinement) path must refine against the SYMMETRIZED
+    matrix — a strictly-lower perturbation of the stored input must not
+    change the answer vs the exact f64 path (regression: refinement
+    previously targeted full A)."""
+    import numpy as np
+
+    import rsparse_tpu as rs
+    from rsparse_tpu.config import config
+    from bench import laplacian_5pt
+
+    n, p, i, x = laplacian_5pt(45)  # n=2025 >= mf_min_n
+    a = rs.Sprs(len(x), n, n, p, i, x)
+    ad = np.asarray(a.to_dense_np())
+    pert = ad.copy()
+    ij = np.tril_indices(n, -1)
+    rng = np.random.default_rng(31)
+    mask = rng.random(len(ij[0])) < 0.01
+    pert[ij[0][mask], ij[1][mask]] += 0.5
+    ap = rs.Sprs.new_from_vec([[float(v) for v in row] for row in pert])
+    b = rng.standard_normal(n)
+    want = rs.cholsol(ap, list(b.copy()), -1)  # f64 exact, triu semantics
+    old = config.chol_factor_dtype
+    config.chol_factor_dtype = "float32"
+    try:
+        got = rs.cholsol(ap, list(b.copy()), -1)
+    finally:
+        config.chol_factor_dtype = old
+    err = np.abs(np.asarray(got) - np.asarray(want)).max() / max(
+        1.0, np.abs(want).max())
+    assert err < 1e-9, err

@@ -117,3 +117,25 @@ def test_dist_qrsol_halo(mesh):
     x2 = dist_qrsol(a2, b2, mesh, 0)
     want2 = np.linalg.pinv(dt) @ b2
     assert np.abs(x2 - want2).max() < 1e-7
+
+
+def test_dist_lusol_halo_crossing_labels(mesh):
+    """dist_lusol must stay correct when the MF-LU export carries
+    elimination labels that cross front ranges (skeleton pivoting) —
+    the halo sweeps ride the topological level schedule."""
+    rng = np.random.default_rng(0)
+    m = 150
+    d = (rng.random((m, m)) < 0.06) * rng.standard_normal((m, m))
+    np.fill_diagonal(d, d.diagonal() + 0.01 * rng.random(m))
+    a = rs.Sprs.new_from_vec(d.tolist())
+    # force the MF path (the fixture is below mf_min_n by default)
+    from rsparse_tpu.config import config
+
+    old = config.mf_min_n
+    config.mf_min_n = 100
+    try:
+        b = rng.standard_normal(m)
+        x = dist_lusol(a, b.copy(), mesh, 1)
+    finally:
+        config.mf_min_n = old
+    assert np.abs(d @ np.asarray(x) - b).max() < 1e-8

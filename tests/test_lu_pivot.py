@@ -186,3 +186,45 @@ def test_mixed_precision_f32_factor_refines_to_f64():
     r = np.abs(d @ np.asarray(x) - b).max()
     scale = max(1.0, np.abs(b).max())
     assert r < 1e-10 * scale, f"refined residual {r}"
+
+
+def test_mf_factor_labels_sweepable():
+    """MF-LU elimination labels may cross front ranges after skeleton
+    pivoting; the level schedule (rt_tri_levels) must topologically order
+    the general DAG so label-order sweeps still solve correctly
+    (regression: the old index-ordered level pass silently mis-scheduled
+    crossing entries — residual 3.57 on this exact case)."""
+    import numpy as np
+
+    import rsparse_tpu as rs
+    from rsparse_tpu.factor.frontal_lu import build_lu_mf_plan, lu_mf
+    from rsparse_tpu.solve import lsolve_multi, usolve_multi
+    from rsparse_tpu.symbolic import sqr
+
+    rng = np.random.default_rng(0)
+    m = 150
+    d = (rng.random((m, m)) < 0.06) * rng.standard_normal((m, m))
+    np.fill_diagonal(d, d.diagonal() + 0.01 * rng.random(m))
+    a = rs.Sprs.new_from_vec(d.tolist())
+    s = sqr(a, 1, False)
+    plan = build_lu_mf_plan(a, s, smax=8)
+    out = lu_mf(a, s, plan, 1e-6)
+    assert out is not None
+    Lp, Li, Lx, Up, Ui, Ux, pinv = out
+    L = rs.Sprs(len(np.asarray(Lx)), m, m, Lp, Li, np.asarray(Lx))
+    U = rs.Sprs(len(np.asarray(Ux)), m, m, Up, Ui, np.asarray(Ux))
+    # the case must actually exercise crossing labels
+    from rsparse_tpu.ops.plan import col_ids
+
+    cross = np.sum((Li[: int(Lp[m])] < col_ids(Lp, m))
+                   & (np.abs(np.asarray(Lx)[: int(Lp[m])]) > 1e-14))
+    assert cross > 0, "fixture no longer produces crossing labels"
+    b = rng.standard_normal((m, 4))
+    z = np.zeros_like(b)
+    z[np.asarray(pinv, np.int64)] = b
+    z = np.asarray(lsolve_multi(L, z))
+    z = np.asarray(usolve_multi(U, z))
+    x = np.zeros_like(z)
+    x[np.asarray(s.q, np.int64)] = z
+    resid = np.abs(d @ x - b).max()
+    assert resid < 1e-9, resid
