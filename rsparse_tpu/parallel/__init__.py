@@ -210,9 +210,14 @@ def dist_spgemm(a: Sprs, b: Sprs, mesh: Mesh, axis: str = "model") -> Sprs:
     Ep = chunk * D
     # expansion stream sharded as STATIC INDEX tensors; the value gathers,
     # products, and partial segment-sums all run on device (the host's only
-    # O(E) work is the cached pattern plan) — each chip touches E/D products
+    # O(E) work is the cached pattern plan) — each chip touches E/D products.
+    # Cache entries PIN the plan and mesh objects (an id()-only key could
+    # silently serve stale tensors after the plan LRU evicts and the id is
+    # reused by a new allocation).
     key = (id(p), id(mesh), axis)
     cached = _SPGEMM_CACHE.get(key)
+    if cached is not None and (cached[0] is not p or cached[1] is not mesh):
+        cached = None  # id reuse after eviction: rebuild
     if cached is None:
         aiv = np.zeros(Ep, dtype=np.int64)
         biv = np.zeros(Ep, dtype=np.int64)
@@ -232,8 +237,9 @@ def dist_spgemm(a: Sprs, b: Sprs, mesh: Mesh, axis: str = "model") -> Sprs:
         if len(_SPGEMM_CACHE) > 64:
             _SPGEMM_CACHE.clear()
         cached = _SPGEMM_CACHE.setdefault(
-            key, (fn, jnp.asarray(aiv), jnp.asarray(biv), jnp.asarray(seg)))
-    fn, aiv_d, biv_d, seg_d = cached
+            key, (p, mesh, fn, jnp.asarray(aiv), jnp.asarray(biv),
+                  jnp.asarray(seg)))
+    _, _, fn, aiv_d, biv_d, seg_d = cached
     ax_h = a.x[: a.nnz()] if a.nnz() else np.zeros(1, np.float64)
     bx_h = b.x[: b.nnz()] if b.nnz() else np.zeros(1, np.float64)
     cx = np.asarray(fn(jnp.asarray(ax_h), jnp.asarray(bx_h),
