@@ -75,3 +75,29 @@ def test_mf_lu_recursion_correct(monkeypatch):
     assert isinstance(s._mf_lu_plan.skel_plan, flu.LUMFPlan), "recursion must engage"
     resid = np.abs(d @ x - b).max()
     assert resid < 1e-8
+
+
+def test_lusol_natural_order_mf_fused():
+    """order=-1 (no column permutation, s.q=None) through the MF fused
+    solve path — exercises the perm-free branch of _lu_mf_solve_fused."""
+    import numpy as np
+
+    import rsparse_tpu as rs
+    from bench import laplacian_5pt
+
+    n, p, i, x = laplacian_5pt(40)  # n=1600 >= mf_min_n
+    x = x.copy()
+    cols = np.repeat(np.arange(n), np.diff(p))
+    x[i > cols] *= 1.7
+    a = rs.Sprs(len(x), n, n, p, i, x)
+    b = np.random.default_rng(3).standard_normal(n)
+    xs = np.asarray(rs.lusol(a, list(b), -1, 1e-6))
+    # the fixture is genuinely ill-conditioned under natural order
+    # (cond ~8e10, |x| ~2e9): check the residual relative to the
+    # solution scale (the driver's own acceptance criterion) and the
+    # solution against the dense oracle
+    r = np.abs(np.asarray(rs.gaxpy(a, list(xs), [0.0] * n)) - b).max()
+    scale = max(1.0, float(np.abs(xs).max()))
+    assert r < 1e-9 * scale, (r, scale)
+    want = np.linalg.solve(np.asarray(a.to_dense_np()), b)
+    assert np.abs(xs - want).max() / scale < 1e-9
