@@ -168,13 +168,18 @@ _GAXPY_CACHE: dict = {}
 
 
 def _gaxpy_cache_get(ep: EntryPartition, mesh: Mesh, axis: str):
+    # entries pin ep/mesh: an id()-only key could serve a stale fn after
+    # the originals are GC'd and a new allocation reuses the address
     key = (id(ep), id(mesh), axis, ep.m)
-    fn = _GAXPY_CACHE.get(key)
-    if fn is None:
+    cached = _GAXPY_CACHE.get(key)
+    if cached is not None and (cached[0] is not ep or cached[1] is not mesh):
+        cached = None
+    if cached is None:
         if len(_GAXPY_CACHE) > 64:
             _GAXPY_CACHE.clear()
-        fn = _GAXPY_CACHE.setdefault(key, make_gaxpy(ep, mesh, axis))
-    return fn
+        cached = _GAXPY_CACHE.setdefault(
+            key, (ep, mesh, make_gaxpy(ep, mesh, axis)))
+    return cached[2]
 
 
 def dist_norm(ep: EntryPartition, mesh: Mesh, axis: str = "model") -> float:
