@@ -15,6 +15,8 @@ The `extra` field carries the kernel metrics:
   - spgemm_general_nnz_per_s fully random pattern SpGEMM (one-hot-MXU ESC
                            kernel) vs C++ Gustavson on the SAME matrices
   - cholsol_wall_s         warm cholsol_7 (4000^2 SPD) vs C++ chol engine
+  - qrsol_{solve,factor}_wall_s  qrsol_3 (8000^2) MF device tree vs the C++
+                           QR engine (factor refactor; happly+usolve apply)
 
 Timing notes:
   - The axon TPU tunnel does NOT block in `block_until_ready`; timed regions
@@ -145,6 +147,65 @@ def _t(fn):
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+def bench_qrsol(rs, native):
+    """qrsol on the largest QR asset (qrsol_3, 8000x8000): the multifrontal
+    device tree vs the host C++ engine (reference algorithm). Factor phase
+    (qr_numeric vs the MF tree refactor) and solve phase (reference
+    happly-sweep + usolve apply, src/lib.rs:936-940, vs the fused device
+    program) are reported separately — the device caches its factor across
+    solves, so both sides amortize it for the solve number."""
+    from rsparse_tpu.symbolic import sqr
+
+    A = rs.Sprs()
+    A.load("/root/reference/tests/assets/qrsol_3.sprs")
+    m, n = A.m, A.n
+    nz = A.nnz()
+    b = np.random.default_rng(3).standard_normal(m)
+    s0 = sqr(A, 2, True)
+
+    def host_factor():
+        return native.qr_numeric(A.m, A.n, A.p, A.i[:nz], A.x[:nz], s0.q,
+                                 s0.parent, s0.pinv, s0.m2, s0.lnz, s0.unz)
+
+    Vp, Vi, Vx, Rp, Ri, Rx, beta = host_factor()
+    t_host_f = min(_t(host_factor) for _ in range(2))
+    pv = np.asarray(s0.pinv[:m], np.int64)
+    q = np.asarray(s0.q, np.int64)
+
+    def host_solve():
+        xx = np.zeros(s0.m2)
+        xx[pv] = b  # ipvec (reference src/lib.rs:2151-2159)
+        native.qr_ls_apply(n, Vp, Vi, Vx, beta, Rp, Ri, Rx, xx)
+        out = np.zeros(n)
+        out[q] = xx[:n]  # ipvec(q)
+        return out
+
+    xh = host_solve()
+    t_host = min(_t(host_solve) for _ in range(3))
+
+    s = sqr(A, 2, True)
+    xd = rs.qrsol(A, list(b), 2, sym=s)  # builds + factors the MF tree
+    plan = s._mf_qr_plan
+    assert plan is not None, "qrsol_3 must run the MF device path"
+
+    def dev_factor():
+        from rsparse_tpu.factor.frontal_qr import qr_mf
+
+        plan.__dict__.pop("_cache_q", None)
+        qr_mf(A, s, plan)
+
+    t_dev_f = min(_t(dev_factor) for _ in range(2))
+
+    def dev_once():
+        return rs.qrsol(A, list(b), 2, sym=s)
+
+    xd = dev_once()
+    t_dev = min(_t(dev_once) for _ in range(3))
+    err = np.abs(np.asarray(xd) - xh).max() / max(1.0, np.abs(xh).max())
+    assert err < 1e-6, f"qrsol device vs host engine: {err}"
+    return t_dev, t_host, t_dev_f, t_host_f
 
 
 def bench_serve(rs, native, jax, jnp):
@@ -584,6 +645,13 @@ def main():
     sl_dev, sl_host = bench_serve_lu(rs, native, jax, jnp)
     extra["lusol_serve_wall_s"] = round(sl_dev, 4)
     extra["lusol_serve_vs_cpp"] = round(sl_host / sl_dev, 3)
+    qr_dev, qr_host, qrf_dev, qrf_host = bench_qrsol(rs, native)
+    extra["qrsol_wall_s"] = round(qrf_dev + qr_dev, 4)
+    extra["qrsol_vs_cpp"] = round((qrf_host + qr_host) / (qrf_dev + qr_dev), 3)
+    extra["qrsol_solve_wall_s"] = round(qr_dev, 4)
+    extra["qrsol_solve_vs_cpp"] = round(qr_host / qr_dev, 3)
+    extra["qrsol_factor_wall_s"] = round(qrf_dev, 4)
+    extra["qrsol_factor_vs_cpp"] = round(qrf_host / qrf_dev, 3)
 
     # f32 kernel paths (Mosaic index plumbing wants i32)
     jax.config.update("jax_enable_x64", False)

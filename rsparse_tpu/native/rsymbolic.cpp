@@ -1100,6 +1100,22 @@ void rt_utsolve(i64 n, const i64* Up, const i64* Ui, const double* Ux, double* x
   }
 }
 
+// Least-squares apply for the qrsol m>=n branch (reference
+// src/lib.rs:936-940): happly each reflector k=0..n-1 to the dense
+// workspace x (reference happly, src/lib.rs:2099-2111), then R\x.
+// The bench denominator for qrsol_wall_s (solve phase, factor amortized).
+void rt_qr_ls_apply(i64 n, const i64* Vp, const i64* Vi, const double* Vx,
+                    const double* beta, const i64* Rp, const i64* Ri,
+                    const double* Rx, double* x) {
+  for (i64 k = 0; k < n; k++) {
+    double tau = 0.0;
+    for (i64 s = Vp[k]; s < Vp[k + 1]; s++) tau += Vx[s] * x[Vi[s]];
+    tau *= beta[k];
+    for (i64 s = Vp[k]; s < Vp[k + 1]; s++) x[Vi[s]] -= Vx[s] * tau;
+  }
+  rt_usolve(n, Rp, Ri, Rx, x);
+}
+
 // ---------------------------------------------------------------------------
 // Level schedules for the device triangular-solve kernels.
 // kind: 0 = lsolve (lower, ascending, diag first), 1 = usolve (upper,

@@ -26,9 +26,13 @@ _dbl = ctypes.c_double
 
 
 def _build() -> None:
+    # Build to a temp path and atomically swap: overwriting the .so in place
+    # would truncate the mapping of any process that already loaded it.
+    tmp = _SO + ".tmp"
     subprocess.check_call(
-        ["g++", "-O3", "-fPIC", "-shared", _SRC, "-o", _SO],
+        ["g++", "-O3", "-fPIC", "-shared", _SRC, "-o", tmp],
     )
+    os.replace(tmp, _SO)
 
 
 def _load() -> ctypes.CDLL:
@@ -61,6 +65,8 @@ def _load() -> ctypes.CDLL:
     lib.rt_qr_numeric.argtypes = [_i64, _i64, _i64p, _i64p, _f64p, ctypes.c_void_p,
                                   _i64p, _i64p, _i64, _i64p, _i64p, _f64p,
                                   _i64p, _i64p, _f64p, _f64p]
+    lib.rt_qr_ls_apply.argtypes = [_i64, _i64p, _i64p, _f64p, _f64p,
+                                   _i64p, _i64p, _f64p, _f64p]
     lib.rt_lsolve.argtypes = [_i64, _i64p, _i64p, _f64p, _f64p]
     lib.rt_ltsolve.argtypes = [_i64, _i64p, _i64p, _f64p, _f64p]
     lib.rt_usolve.argtypes = [_i64, _i64p, _i64p, _f64p, _f64p]
@@ -232,6 +238,14 @@ def qr_numeric(m, n, Ap, Ai, Ax, q, parent, pinv, m2, vnz_cap, rnz_cap):
                        _c(parent), _c(pinv), m2, Vp, Vi, Vx, Rp, Ri, Rx, beta)
     vn, rn = int(Vp[n]), int(Rp[n])
     return Vp, Vi[:vn], Vx[:vn], Rp, Ri[:rn], Rx[:rn], beta
+
+
+def qr_ls_apply(n, Vp, Vi, Vx, beta, Rp, Ri, Rx, x):
+    """happly(k=0..n-1) then R\\x on the dense workspace x — the reference
+    qrsol m>=n apply phase (src/lib.rs:936-940). x: f64, length >= m2."""
+    _lib.rt_qr_ls_apply(n, _c(Vp), _c(Vi), _c(Vx, np.float64),
+                        _c(beta, np.float64), _c(Rp), _c(Ri),
+                        _c(Rx, np.float64), x)
 
 
 def tri_levels(n, Tp, Ti, kind: int) -> np.ndarray:

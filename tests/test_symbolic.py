@@ -79,3 +79,33 @@ def test_natural_order_is_none():
     assert amd(a, -1) is None
     p = amd(a, 0)
     assert p is not None and sorted(p) == list(range(a.n))
+
+
+def test_qr_ls_apply_matches_host_qrsol():
+    """rt_qr_ls_apply (native happly sweep + usolve — the bench denominator
+    for qrsol_solve_wall_s) reproduces the host qrsol m>=n apply exactly
+    (reference src/lib.rs:936-940)."""
+    from rsparse_tpu import config
+    from rsparse_tpu.symbolic import native
+
+    a = Sprs.new_from_file(os.path.join(ASSETS, "qrsol_5.sprs"))
+    m, n, nz = a.m, a.n, a.nnz()
+    b = np.random.default_rng(0).standard_normal(m)
+    s = sqr(a, 2, True)
+    Vp, Vi, Vx, Rp, Ri, Rx, beta = native.qr_numeric(
+        m, n, a.p, a.i[:nz], a.x[:nz], s.q, s.parent, s.pinv, s.m2,
+        s.lnz, s.unz)
+    xx = np.zeros(s.m2)
+    xx[np.asarray(s.pinv[:m], np.int64)] = b
+    native.qr_ls_apply(n, Vp, Vi, Vx, beta, Rp, Ri, Rx, xx)
+    out = np.zeros(n)
+    out[np.asarray(s.q, np.int64)] = xx[:n]
+
+    prev = config.backend
+    config.backend = "host"
+    try:
+        want = np.asarray(rs.qrsol(a, list(b), 2))
+    finally:
+        config.backend = prev
+    err = np.abs(out - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-12
