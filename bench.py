@@ -628,6 +628,22 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # The tunneled TPU backend can be transiently unavailable; retry init a
+    # few times before giving up so a blip doesn't void the whole bench.
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 4:
+                raise
+            print(f"# backend init failed ({e}); retrying in 60s", flush=True)
+            time.sleep(60)
+            try:  # drop the cached init failure so the retry is real
+                jax.clear_backends()
+            except Exception:
+                pass
+
     import rsparse_tpu as rs
     from rsparse_tpu.ops import spmv as spmv_mod
     from rsparse_tpu.symbolic import native
