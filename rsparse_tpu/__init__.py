@@ -89,6 +89,7 @@ from .solve import (  # noqa: E402
     qrsol,
     qrsol_ls,
     cholsol_multi,
+    cholsol_vals,
     lusol_multi,
     qrsol_multi,
     cholsol_ir,
@@ -114,6 +115,7 @@ __all__ += [
     "qrsol",
     "qrsol_ls",
     "cholsol_multi",
+    "cholsol_vals",
     "lusol_multi",
     "qrsol_multi",
     "cholsol_ir",

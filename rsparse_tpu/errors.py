@@ -14,10 +14,13 @@ class RsparseError(Exception):
 
 class NotPositiveDefiniteError(RsparseError):
     def __str__(self) -> str:  # message parity with src/lib.rs:200
-        return (
+        base = (
             "Could not complete Cholesky factorization. "
             "Please provide a positive definite matrix"
         )
+        # batched raises (cholsol_vals) attach detail; argless raises keep
+        # the reference's exact message
+        return base if not self.args else f"{base} ({self.args[0]})"
 
 
 class NoPivotError(RsparseError):

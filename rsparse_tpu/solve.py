@@ -374,6 +374,98 @@ def cholsol_multi(a: Sprs, B, order: int = 0, *, sym: Optional[Symb] = None):
     return out
 
 
+def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
+                 sym: Optional[Symb] = None):
+    """Batched-VALUES SPD solve: K systems A_k x_k = b_k where every A_k
+    shares `a`'s sparsity pattern and differs only in values.
+
+    No reference counterpart — this is the orthogonal batching axis to
+    `cholsol_multi` (one matrix, many RHS) and a TPU-native consequence of
+    the plan/value split: the symbolic analysis, multifrontal plan, and
+    compiled executable are shared across the batch, and `jax.vmap` turns
+    the K factorizations + solves into ONE device program whose dense front
+    operations run as K-batched MXU matmuls (time-stepping / parameter-
+    sweep serving shape). Semantics per instance match `cholsol`
+    (reference src/lib.rs:377-389) in full f64 precision.
+
+    Ax: [K, nnz(a)] value rows (`a.x` is ignored); B: [K, n] per-system
+    RHS, or [n] broadcast to all K. Returns X [K, n]. Raises
+    NotPositiveDefiniteError naming the failing instances if any A_k is
+    not SPD.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .errors import NotPositiveDefiniteError
+    from .factor.frontal import (build_mf_plan, _chol_mf_values,
+                                 _prep_factor_indices, _collect_chol_dev,
+                                 _prep_solve_indices, _solve_mf_dev)
+    from .ops.plan import symperm_plan
+    from .symbolic import schol, _symperm_host
+
+    n = a.n
+    if a.m != n:
+        raise ValueError(f"cholsol_vals needs a square matrix, got "
+                         f"{a.m}x{n}")
+    nz = a.nnz()
+    AxK = np.asarray(Ax, dtype=np.float64)
+    if AxK.ndim != 2 or AxK.shape[1] != nz:
+        raise ValueError(f"Ax must be [K, nnz(a)] = [K, {nz}], got "
+                         f"{AxK.shape}")
+    K = AxK.shape[0]
+    Bm = np.asarray(B, dtype=np.float64)
+    if Bm.ndim == 1:
+        Bm = np.broadcast_to(Bm, (K, n))
+    if Bm.shape != (K, n):
+        raise ValueError(f"B must be [K, n] = [{K}, {n}] or [n], got "
+                         f"{Bm.shape}")
+    s = sym if sym is not None else schol(a, order)
+    mfp = getattr(s, "_mf_plan", "unset")
+    if mfp == "unset":
+        c0 = _symperm_host(a, s.pinv)
+        mfp = build_mf_plan(c0, s) if n >= config.mf_min_n else None
+        s._mf_plan = mfp
+    pv = (np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None
+          else np.arange(n))
+    if mfp is None or config.backend == "host":
+        # small-problem / host tier: per-instance reference-exact solves
+        out = np.empty((K, n), dtype=np.float64)
+        for k in range(K):
+            ak = Sprs(nz, n, n, a.p, a.i[:nz], AxK[k])
+            out[k] = cholsol(ak, Bm[k].copy(), order, sym=s)
+        return out
+    # value gather map of the symperm the plan was built on
+    src = mfp.__dict__.get("_vals_src")
+    if src is None:
+        src = symperm_plan(a, s.pinv).perm
+        mfp.__dict__["_vals_src"] = src
+    _prep_factor_indices(mfp)
+    _prep_solve_indices(mfp)
+    dev = _collect_chol_dev(mfp)
+    fn = mfp.__dict__.get("_vals_jit")
+    if fn is None:
+        def run(CxK, XpK, dev):
+            def one(cx, xp):
+                _, dmins, cache = _chol_mf_values(cx, mfp, dev)
+                dmin = (jnp.min(jnp.stack(dmins)) if dmins
+                        else jnp.asarray(1.0, cx.dtype))
+                return dmin, _solve_mf_dev(mfp, xp, cache)
+
+            return jax.vmap(one)(CxK, XpK)
+
+        fn = jax.jit(run)
+        mfp.__dict__["_vals_jit"] = fn
+    Xp = np.zeros((K, n), dtype=np.float64)
+    Xp[:, pv] = Bm  # ipvec per instance (x = P b)
+    dmin_k, Y = fn(jnp.asarray(AxK[:, src]), jnp.asarray(Xp[..., None]), dev)
+    dh = np.asarray(dmin_k)
+    if not (dh > 0.0).all():
+        bad = np.nonzero(~(dh > 0.0))[0]
+        raise NotPositiveDefiniteError(
+            f"instances {bad.tolist()} are not positive definite")
+    return np.asarray(Y)[:, pv, 0]  # pvec per instance (x = P' y)
+
+
 def _serve_enabled():
     import jax
 

@@ -108,3 +108,101 @@ def test_qrsol_ls_minimum_norm():
     want = np.asarray(rs.qrsol(a, list(b), 2))
     got = np.asarray(rs.qrsol_ls(a, b, 0, refine=3))
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# cholsol_vals: batched-VALUES solve (K same-pattern systems, one program)
+# ---------------------------------------------------------------------------
+
+
+def _laplacian(g):
+    n = g * g
+    idx = np.arange(n, dtype=np.int64)
+    gx, gy = idx // g, idx % g
+    rows, cols, vals = [idx], [idx], [np.full(n, 4.0)]
+    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        nx, ny = gx + dx, gy + dy
+        ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+        rows.append((nx * g + ny)[ok])
+        cols.append(idx[ok])
+        vals.append(np.full(int(ok.sum()), -1.0))
+    r, c, v = (np.concatenate(t) for t in (rows, cols, vals))
+    order = np.lexsort((r, c))
+    r, c, v = r[order], c[order], v[order]
+    p = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(c, minlength=n), out=p[1:])
+    return rs.Sprs(len(v), n, n, p, r, v)
+
+
+def _vals_fixture(g=50, K=5):
+    a = _laplacian(g)
+    nz = a.nnz()
+    diag = a.i[:nz] == np.repeat(np.arange(a.n), np.diff(a.p))
+    AxK = np.tile(a.x[:nz], (K, 1))
+    for k in range(K):
+        AxK[k][diag] *= 1.0 + 0.5 * k
+    return a, AxK, diag
+
+
+def test_cholsol_vals_mf_path_matches_dense():
+    a, AxK, _ = _vals_fixture()
+    K, n = AxK.shape[0], a.n
+    assert n >= rs.config.mf_min_n, "fixture must exercise the MF path"
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((K, n))
+    s = rs.schol(a, 0)
+    X = rs.cholsol_vals(a, AxK, B, 0, sym=s)
+    Ad = a.to_dense_np()
+    dd = np.arange(n)
+    for k in range(K):
+        Adk = Ad.copy()
+        Adk[dd, dd] *= 1.0 + 0.5 * k
+        want = np.linalg.solve(Adk, B[k])
+        assert np.abs(X[k] - want).max() < 1e-8
+    # per-instance answers match the single-matrix driver
+    a1 = rs.Sprs(a.nnz(), n, n, a.p, a.i[: a.nnz()], AxK[2])
+    x1 = np.asarray(rs.cholsol(a1, list(B[2]), 0))
+    assert np.abs(X[2] - x1).max() < 1e-8
+
+
+def test_cholsol_vals_broadcast_reuse_and_npd():
+    a, AxK, diag = _vals_fixture()
+    K, n = AxK.shape[0], a.n
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((K, n))
+    s = rs.schol(a, 0)
+    X = rs.cholsol_vals(a, AxK, B, 0, sym=s)
+    # [n] RHS broadcasts to all instances
+    Xb = rs.cholsol_vals(a, AxK, B[0], 0, sym=s)
+    assert np.abs(Xb[0] - X[0]).max() < 1e-12
+    # plan + program reuse across calls with fresh values
+    X2 = rs.cholsol_vals(a, AxK * 1.25, B, 0, sym=s)
+    assert np.isfinite(X2).all()
+    # one indefinite instance fails the whole batch, naming the instance
+    bad = AxK.copy()
+    bad[3][diag] = -5.0
+    with pytest.raises(rs.NotPositiveDefiniteError, match=r"\[3\]"):
+        rs.cholsol_vals(a, bad, B, 0, sym=s)
+
+
+def test_cholsol_vals_small_problem_fallback():
+    a = rs.Sprs.new_from_file(f"{ASSETS}/cholsol_2.sprs")
+    nz, n = a.nnz(), a.n
+    K = 3
+    AxK = np.tile(a.x[:nz], (K, 1)) * (1.0 + np.arange(K))[:, None]
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((K, n))
+    X = rs.cholsol_vals(a, AxK, B, 0)
+    Ad = a.to_dense_np()
+    for k in range(K):
+        want = np.linalg.solve(Ad * (1.0 + k), B[k])
+        assert np.abs(X[k] - want).max() < 1e-8
+
+
+def test_cholsol_vals_shape_validation():
+    a, AxK, _ = _vals_fixture()
+    B = np.zeros((AxK.shape[0], a.n))
+    with pytest.raises(ValueError):
+        rs.cholsol_vals(a, AxK[:, :-1], B, 0)
+    with pytest.raises(ValueError):
+        rs.cholsol_vals(a, AxK, B[:, :-1], 0)
