@@ -90,6 +90,7 @@ from .solve import (  # noqa: E402
     qrsol_ls,
     cholsol_multi,
     cholsol_vals,
+    qrsol_vals,
     lusol_multi,
     qrsol_multi,
     cholsol_ir,
@@ -116,6 +117,7 @@ __all__ += [
     "qrsol_ls",
     "cholsol_multi",
     "cholsol_vals",
+    "qrsol_vals",
     "lusol_multi",
     "qrsol_multi",
     "cholsol_ir",

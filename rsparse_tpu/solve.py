@@ -466,6 +466,121 @@ def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
     return np.asarray(Y)[:, pv, 0]  # pvec per instance (x = P' y)
 
 
+def qrsol_vals(a: Sprs, Ax, B, order: int = 0, *,
+               sym: Optional[Symb] = None):
+    """Batched-VALUES QR solve: K systems sharing `a`'s sparsity pattern,
+    least-squares (m >= n) or minimum-norm (m < n, via QR of A' — reference
+    src/lib.rs:943-955), factored and solved in ONE vmapped device program
+    over the multifrontal QR tree (see `cholsol_vals` for the design; the
+    K dense front QRs batch onto the MXU). LU has no `_vals` variant by
+    construction: partial pivoting makes the factor PATTERN value-dependent,
+    so same-pattern instances need not share a program.
+
+    Ax: [K, nnz(a)] value rows (`a.x` is ignored); B: [K, m] per-system
+    RHS, or [m] broadcast. Returns X [K, n]. `sym`: a `sqr(a, order, True)`
+    analysis when m >= n, or `sqr(transpose(a), order, True)` when m < n.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .factor.frontal_qr import (_prep_qr_indices, _qr_front_kernel,
+                                    _qt_apply, _q_apply)
+    from .ops.plan import transpose_plan
+    from .symbolic import sqr
+
+    m, n = a.m, a.n
+    nz = a.nnz()
+    AxK = np.asarray(Ax, dtype=np.float64)
+    if AxK.ndim != 2 or AxK.shape[1] != nz:
+        raise ValueError(f"Ax must be [K, nnz(a)] = [K, {nz}], got "
+                         f"{AxK.shape}")
+    K = AxK.shape[0]
+    Bm = np.asarray(B, dtype=np.float64)
+    if Bm.ndim == 1:
+        Bm = np.broadcast_to(Bm, (K, m))
+    if Bm.shape != (K, m):
+        raise ValueError(f"B must be [K, m] = [{K}, {m}] or [m], got "
+                         f"{Bm.shape}")
+    ls = m >= n
+    if ls:
+        host_a, vmap_ax = a, AxK
+    else:
+        host_a = ops.transpose(a)  # factor A' (minimum-norm branch)
+        vmap_ax = AxK[:, transpose_plan(a).perm]
+    s = sym if sym is not None else sqr(host_a, order, True)
+    plan = getattr(s, "_mf_qr_plan", "unset")
+    if plan == "unset" and host_a.n >= config.mf_min_n:
+        from .factor.frontal_qr import build_qr_mf_plan
+
+        try:
+            plan = build_qr_mf_plan(host_a, s)
+        except Exception:
+            plan = None
+        s._mf_qr_plan = plan
+    if plan is None or plan == "unset" or config.backend == "host":
+        # per-instance reference-shaped solves (small / inapplicable tier)
+        out = np.empty((K, n), dtype=np.float64)
+        for k in range(K):
+            ak = Sprs(nz, m, n, a.p, a.i[:nz], AxK[k])
+            out[k] = qrsol(ak, Bm[k].copy(), order, sym=s)
+        return out
+    _prep_qr_indices(plan)
+    devs = [b.__dict__["_dev"] for lev in plan.levels for b in lev]
+    sdevs = [b.__dict__["_sdev"] for lev in plan.levels for b in lev]
+    kind = 1 if ls else 3  # R\c (usolve) | R'\c (utsolve)
+    key = "_rtri" if ls else "_rtri_t"
+    tp_ = plan.__dict__.get(key)
+    if tp_ is None:
+        rmat = Sprs(plan.rnz, plan.n, plan.n, plan.Rp, plan.Ri,
+                    np.zeros(plan.rnz))
+        tp_ = tri_plan(rmat, kind)
+        _plan_dev(tp_)
+        plan.__dict__[key] = tp_
+    fn = plan.__dict__.get("_vals_jit" if ls else "_vals_mn_jit")
+    if fn is None:
+        # index trees flow in as jit ARGUMENTS (compile-size discipline,
+        # see frontal.chol_mf); the vmapped body closes over run's args
+        def run(AxK, ZK, devs_in, sdevs_in, tridev):
+            def one(ax, z):
+                Rx = jnp.zeros(plan.rnz + 1, dtype=ax.dtype)
+                cbx = jnp.zeros(plan.cb_total + 1, dtype=ax.dtype)
+                qs = []
+                for dev in devs_in:
+                    Rx, cbx, Q = _qr_front_kernel(Rx, cbx, ax, *dev)
+                    qs.append(Q)
+                qs = tuple(qs)
+                if ls:
+                    c = _qt_apply(plan, z, qs, sdevs_in)
+                    return _tri_sweep_multi(Rx[: plan.rnz], c, *tridev,
+                                            tp_.nlev, tp_.emax, tp_.wmax,
+                                            plan.n, True)
+                y = _tri_sweep_multi(Rx[: plan.rnz], z, *tridev,
+                                     tp_.nlev, tp_.emax, tp_.wmax,
+                                     plan.n, False)
+                return _q_apply(plan, y, qs, sdevs_in)
+
+            return jax.vmap(one)(AxK, ZK)
+
+        fn = jax.jit(run)
+        plan.__dict__["_vals_jit" if ls else "_vals_mn_jit"] = fn
+    tridev = _plan_dev(tp_)
+    if ls:
+        Z = Bm[..., None]  # row perm is embedded in the front plan
+    else:
+        bq = Bm
+        if plan.q is not None:
+            bq = Bm[:, np.asarray(plan.q, dtype=np.int64)]
+        Z = bq[..., None]
+    Y = np.asarray(fn(jnp.asarray(vmap_ax), jnp.asarray(Z), devs, sdevs,
+                      tridev))[:, :, 0]
+    if ls:
+        out = np.zeros((K, n), dtype=np.float64)
+        out[:, (np.asarray(s.q, np.int64) if s.q is not None
+                else np.arange(n))] = Y  # ipvec(q) per instance
+        return out
+    return Y  # _q_apply returns original row order
+
+
 def _serve_enabled():
     import jax
 

@@ -206,3 +206,83 @@ def test_cholsol_vals_shape_validation():
         rs.cholsol_vals(a, AxK[:, :-1], B, 0)
     with pytest.raises(ValueError):
         rs.cholsol_vals(a, AxK, B[:, :-1], 0)
+
+
+# ---------------------------------------------------------------------------
+# qrsol_vals: batched-VALUES least-squares / minimum-norm
+# ---------------------------------------------------------------------------
+
+
+def _tall_fixture(n=1600, m=2000, nnz=12000, K=4, seed=0):
+    rng = np.random.default_rng(seed)
+    r = rng.integers(0, m, nnz)
+    c = rng.integers(0, n, nnz)
+    k = np.unique(c * np.int64(m) + r)
+    c2, r2 = k // m, (k % m).astype(np.int64)
+    v = rng.standard_normal(len(k))
+    r2 = np.concatenate([r2, np.arange(n)])  # identity block: full rank
+    c2 = np.concatenate([c2, np.arange(n)])
+    v = np.concatenate([v, np.full(n, 5.0)])
+    order = np.lexsort((r2, c2))
+    r2, c2, v = r2[order], c2[order], v[order]
+    kk = c2 * np.int64(m) + r2
+    keep = np.concatenate([[True], kk[1:] != kk[:-1]])
+    r2, c2, v = r2[keep], c2[keep], v[keep]
+    p = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(c2, minlength=n), out=p[1:])
+    a = rs.Sprs(len(v), m, n, p, r2, v)
+    AxK = np.tile(v, (K, 1)) * (1.0 + 0.3 * np.arange(K))[:, None]
+    return a, AxK
+
+
+def test_qrsol_vals_least_squares_mf():
+    a, AxK = _tall_fixture()
+    assert a.n >= rs.config.mf_min_n
+    K = AxK.shape[0]
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((K, a.m))
+    X = rs.qrsol_vals(a, AxK, B, 2)
+    Ad = a.to_dense_np()
+    for k in range(K):
+        want, *_ = np.linalg.lstsq(Ad * (1.0 + 0.3 * k), B[k], rcond=None)
+        err = np.abs(X[k] - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-8
+    # matches the single-matrix driver
+    a1 = rs.Sprs(a.nnz(), a.m, a.n, a.p, a.i[: a.nnz()], AxK[1])
+    x1 = np.asarray(rs.qrsol(a1, list(B[1]), 2))
+    assert np.abs(X[1] - x1).max() < 1e-8
+
+
+def test_qrsol_vals_minimum_norm_mf():
+    a, AxK = _tall_fixture(seed=2)
+    at = rs.ops.transpose(a)  # wide: m < n
+    K = AxK.shape[0]
+    nz = at.nnz()
+    AxtK = np.tile(at.x[:nz], (K, 1)) * (1.0 + 0.3 * np.arange(K))[:, None]
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((K, at.m))
+    X = rs.qrsol_vals(at, AxtK, B, 2)
+    Ad = at.to_dense_np()
+    for k in range(K):
+        Adk = Ad * (1.0 + 0.3 * k)
+        assert np.abs(Adk @ X[k] - B[k]).max() < 1e-8  # consistent
+        wmin = np.linalg.lstsq(Adk, B[k], rcond=None)[0]
+        assert np.abs(X[k] - wmin).max() < 1e-6  # minimum-norm
+
+
+def test_qrsol_vals_small_fallback_and_validation():
+    a = rs.Sprs.new_from_file(f"{ASSETS}/qrsol_5.sprs")
+    nz = a.nnz()
+    K = 3
+    AxK = np.tile(a.x[:nz], (K, 1)) * (1.0 + np.arange(K))[:, None]
+    rng = np.random.default_rng(4)
+    B = rng.standard_normal((K, a.m))
+    X = rs.qrsol_vals(a, AxK, B, 2)
+    Ad = a.to_dense_np()
+    for k in range(K):
+        want, *_ = np.linalg.lstsq(Ad * (1.0 + k), B[k], rcond=None)
+        assert np.abs(X[k] - want).max() < 1e-8
+    with pytest.raises(ValueError):
+        rs.qrsol_vals(a, AxK[:, :-1], B, 2)
+    with pytest.raises(ValueError):
+        rs.qrsol_vals(a, AxK, B[:, :-1], 2)
