@@ -254,6 +254,55 @@ def bench_serve(rs, native, jax, jnp):
     return t_dev, t_host
 
 
+def bench_cholsol_vals(rs, native):
+    """Batched-VALUES solving (K same-pattern SPD systems, one vmapped
+    device program — cholsol_vals) vs the reference's only shape: K
+    sequential factor+solve passes through the host C++ engine. Pattern:
+    10,000-node 5-point Laplacian; instances differ by diagonal shifts."""
+    from rsparse_tpu.data import Sprs
+    from rsparse_tpu.ops.plan import symperm_plan
+    from rsparse_tpu.symbolic import schol
+
+    n, Ap, Ai, Ax0 = laplacian_5pt(100)
+    A = Sprs(len(Ax0), n, n, Ap, Ai, Ax0)
+    K = 16
+    diag = Ai == np.repeat(np.arange(n), np.diff(Ap))
+    AxK = np.tile(Ax0, (K, 1))
+    AxK[:, diag] *= (1.0 + 0.25 * np.arange(K))[:, None]
+    rng = np.random.default_rng(9)
+    B = rng.standard_normal((K, n))
+    s0 = schol(A, 0)
+    sp = symperm_plan(A, s0.pinv)
+    pv = np.asarray(s0.pinv, np.int64)
+
+    def host_loop():
+        X = np.empty((K, n))
+        for k in range(K):
+            cx = AxK[k][sp.perm]
+            Lp, Li, Lx = native.chol_numeric(
+                n, sp.out_p, sp.out_i, cx, s0.parent, s0.cp)
+            xx = np.zeros(n)
+            xx[pv] = B[k]
+            native.lsolve_host(n, Lp, Li, Lx, xx)
+            native.ltsolve_host(n, Lp, Li, Lx, xx)
+            X[k] = xx[pv]
+        return X
+
+    Xh = host_loop()
+    t_host = min(_t(host_loop) for _ in range(2))
+    s = schol(A, 0)
+    X = rs.cholsol_vals(A, AxK, B, 0, sym=s)  # compile + warm
+    err = np.abs(X - Xh).max() / max(1.0, np.abs(Xh).max())
+    assert err < 1e-9, f"cholsol_vals vs host loop: {err}"
+
+    def dev_once():
+        return rs.cholsol_vals(A, AxK, B, 0, sym=s)
+
+    dev_once()
+    t_dev = min(_t(dev_once) for _ in range(3))
+    return t_dev, t_host, K
+
+
 def bench_spmv_dia(jax, jnp, spmv_mod, native):
     g = 1024
     n, Ap, Ai, Ax = laplacian_5pt(g)
@@ -661,6 +710,10 @@ def main():
     sl_dev, sl_host = bench_serve_lu(rs, native, jax, jnp)
     extra["lusol_serve_wall_s"] = round(sl_dev, 4)
     extra["lusol_serve_vs_cpp"] = round(sl_host / sl_dev, 3)
+    cv_dev, cv_host, cv_k = bench_cholsol_vals(rs, native)
+    extra["cholsol_vals_wall_s"] = round(cv_dev, 4)
+    extra["cholsol_vals_vs_cpp"] = round(cv_host / cv_dev, 3)
+    extra["cholsol_vals_systems_per_s"] = round(cv_k / cv_dev, 1)
     qr_dev, qr_host, qrf_dev, qrf_host = bench_qrsol(rs, native)
     extra["qrsol_wall_s"] = round(qrf_dev + qr_dev, 4)
     extra["qrsol_vs_cpp"] = round((qrf_host + qr_host) / (qrf_dev + qr_dev), 3)
