@@ -501,6 +501,100 @@ def refine_step(a: Sprs, l: Sprs, X, B, mesh: Mesh,
     )
 
 
+def dist_cholsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
+                      sym=None, axis: str = "data"):
+    """Distributed batched-VALUES SPD solve: K systems sharing `a`'s
+    sparsity pattern, instances sharded over the mesh `axis` — each device
+    factors+solves its K/D chunk through the vmapped multifrontal program
+    (see solve.cholsol_vals), embarrassingly parallel scale-out of the
+    parameter-sweep / time-stepping shape. One symbolic analysis and one
+    compiled executable are shared by every device.
+
+    Ax: [K, nnz(a)]; B: [K, n] or [n] broadcast. Returns X [K, n]. Raises
+    NotPositiveDefiniteError naming the failing instances."""
+    import rsparse_tpu as _rs
+
+    from ..errors import NotPositiveDefiniteError
+    from ..factor.frontal import (_chol_mf_values, _collect_chol_dev,
+                                  _prep_factor_indices, _prep_solve_indices,
+                                  _solve_mf_dev, build_mf_plan)
+    from ..ops.plan import symperm_plan
+    from ..symbolic import _symperm_host
+
+    n = a.n
+    nz = a.nnz()
+    AxK = np.asarray(Ax, dtype=np.float64)
+    if AxK.ndim != 2 or AxK.shape[1] != nz:
+        raise ValueError(f"Ax must be [K, nnz(a)] = [K, {nz}], got "
+                         f"{AxK.shape}")
+    K = AxK.shape[0]
+    Bm = np.asarray(B, dtype=np.float64)
+    if Bm.ndim == 1:
+        Bm = np.broadcast_to(Bm, (K, n))
+    if Bm.shape != (K, n):
+        raise ValueError(f"B must be [K, n] or [n], got {Bm.shape}")
+    s = sym if sym is not None else _rs.schol(a, order)
+    mfp = getattr(s, "_mf_plan", "unset")
+    if mfp == "unset":
+        from ..config import config as _cfg
+
+        c0 = _symperm_host(a, s.pinv)
+        mfp = build_mf_plan(c0, s) if n >= _cfg.mf_min_n else None
+        s._mf_plan = mfp
+    if mfp is None:
+        # below the MF tier distribution buys nothing; single-process path
+        from ..solve import cholsol_vals
+
+        return cholsol_vals(a, AxK, Bm, order, sym=s)
+    src = mfp.__dict__.get("_vals_src")
+    if src is None:
+        src = symperm_plan(a, s.pinv).perm
+        mfp.__dict__["_vals_src"] = src
+    _prep_factor_indices(mfp)
+    _prep_solve_indices(mfp)
+    dev = _collect_chol_dev(mfp)
+    D = mesh.shape[axis]
+    Kp = -(-K // D) * D  # pad the batch to a multiple of the shard count
+    pv = (np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None
+          else np.arange(n))
+    CxK = AxK[:, src]
+    Xp = np.zeros((K, n), dtype=np.float64)
+    Xp[:, pv] = Bm
+    if Kp != K:  # pad with copies of instance 0 (valid SPD, result dropped)
+        CxK = np.concatenate([CxK, np.repeat(CxK[:1], Kp - K, axis=0)])
+        Xp = np.concatenate([Xp, np.repeat(Xp[:1], Kp - K, axis=0)])
+    fn = mfp.__dict__.get("_dist_vals_jit")
+    if fn is None or fn[1] is not mesh or fn[2] != axis:
+        def run(CxL, XpL, dev):
+            def one(cx, xp):
+                _, dmins, cache = _chol_mf_values(cx, mfp, dev)
+                dmin = (jnp.min(jnp.stack(dmins)) if dmins
+                        else jnp.asarray(1.0, cx.dtype))
+                return dmin, _solve_mf_dev(mfp, xp, cache)
+
+            return jax.vmap(one)(CxL, XpL)
+
+        # check_vma off: the body is embarrassingly parallel (no collectives)
+        # and its scan carries start from replicated zeros, which the
+        # varying-axes checker rejects despite being sound here.
+        jfn = jax.jit(shard_map(
+            run, mesh=mesh,
+            in_specs=(P(axis), P(axis), P()),
+            out_specs=(P(axis), P(axis)), check_vma=False))
+        fn = (jfn, mesh, axis)
+        mfp.__dict__["_dist_vals_jit"] = fn
+    dmin_k, Y = fn[0](jnp.asarray(CxK), jnp.asarray(Xp[..., None]), dev)
+    dh = np.asarray(dmin_k)[:K]
+    if not (dh > 0.0).all():
+        bad = np.nonzero(~(dh > 0.0))[0]
+        raise NotPositiveDefiniteError(
+            f"instances {bad.tolist()} are not positive definite")
+    return np.asarray(Y)[:K, pv, 0]
+
+
+__all__ += ["dist_cholsol_vals"]
+
+
 # Halo-sharded layer (x sharded n/D, ppermute boundary exchange) — the
 # SURVEY §2.5 partition+halo design; see parallel/halo.py.
 from .halo import (  # noqa: E402,F401

@@ -522,7 +522,7 @@ def qrsol_vals(a: Sprs, Ax, B, order: int = 0, *,
         out = np.empty((K, n), dtype=np.float64)
         for k in range(K):
             ak = Sprs(nz, m, n, a.p, a.i[:nz], AxK[k])
-            out[k] = qrsol(ak, Bm[k].copy(), order, sym=s)
+            out[k] = qrsol(ak, list(Bm[k]), order, sym=s)
         return out
     _prep_qr_indices(plan)
     devs = [b.__dict__["_dev"] for lev in plan.levels for b in lev]
@@ -1294,8 +1294,13 @@ def _tri_solve(t: Sprs, x, kind: int, plan: Optional[TriPlan] = None):
 def _writeback(x_obj, sol: np.ndarray):
     """Mirror the reference's in-place overwrite of b where possible."""
     if isinstance(x_obj, list):
+        # list slice-assign GROWS when sol is longer — the reference's
+        # Vec resize semantics (underdetermined qrsol returns n > m values)
         x_obj[: len(sol)] = [float(v) for v in sol]
-    elif isinstance(x_obj, np.ndarray) and x_obj.flags.writeable:
+    elif (isinstance(x_obj, np.ndarray) and x_obj.flags.writeable
+          and len(sol) <= len(x_obj)):
+        # a fixed-size ndarray cannot grow; when the solution is longer
+        # (underdetermined qrsol) the caller gets it from the return value
         x_obj[: len(sol)] = sol
     return x_obj if isinstance(x_obj, (list, np.ndarray)) else sol
 

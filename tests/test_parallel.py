@@ -141,3 +141,42 @@ def test_dist_cholsol_matches_single_chip(mesh):
     want = np.asarray(rs.cholsol(a, list(b), 0))
     got = np.asarray(par.dist_cholsol(a, b, mesh, 0))
     np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+def test_dist_cholsol_vals_matches_single_chip():
+    # instances sharded over a pure data mesh; K not divisible by D
+    nd = len(jax.devices())
+    mesh = par.make_mesh(data=nd)
+    g = 50  # n=2500 >= mf_min_n: exercises the vmapped MF program
+    n = g * g
+    idx = np.arange(n, dtype=np.int64)
+    gx, gy = idx // g, idx % g
+    rows, cols, vals = [idx], [idx], [np.full(n, 4.0)]
+    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        nx, ny = gx + dx, gy + dy
+        ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+        rows.append((nx * g + ny)[ok])
+        cols.append(idx[ok])
+        vals.append(np.full(int(ok.sum()), -1.0))
+    r, c, v = (np.concatenate(t) for t in (rows, cols, vals))
+    order = np.lexsort((r, c))
+    r, c, v = r[order], c[order], v[order]
+    p = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(c, minlength=n), out=p[1:])
+    a = rs.Sprs(len(v), n, n, p, r, v)
+    nz = a.nnz()
+    diag = a.i[:nz] == np.repeat(np.arange(n), np.diff(a.p))
+    K = nd + 3  # force batch padding
+    AxK = np.tile(a.x[:nz], (K, 1))
+    AxK[:, diag] *= (1.0 + 0.2 * np.arange(K))[:, None]
+    rng = np.random.default_rng(6)
+    B = rng.standard_normal((K, n))
+    s = rs.schol(a, 0)
+    got = par.dist_cholsol_vals(a, AxK, B, mesh, 0, sym=s)
+    want = rs.cholsol_vals(a, AxK, B, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+    # per-instance NPD detection survives the shard round-trip
+    bad = AxK.copy()
+    bad[2][diag] = -3.0
+    with pytest.raises(rs.NotPositiveDefiniteError, match=r"\[2\]"):
+        par.dist_cholsol_vals(a, bad, B, mesh, 0, sym=s)

@@ -166,3 +166,40 @@ def test_serve_handles_random_spd(seed, n, nrhs):
         config.serve_mixed = old
     want = np.linalg.solve(d, B)
     np.testing.assert_allclose(X, want, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("seed,n,dens,K", [(0, 40, 0.12, 5), (1, 80, 0.06, 3)])
+def test_cholsol_vals_random_spd(seed, n, dens, K):
+    """Batched-values driver agrees with per-instance dense solves on
+    random SPD batches sharing one pattern (small tier: host loop)."""
+    rng = np.random.default_rng(300 + seed)
+    m_ = (rng.random((n, n)) < dens) * rng.standard_normal((n, n))
+    d0 = m_ @ m_.T + n * np.eye(n)
+    a = rs.Sprs.new_from_vec(d0.tolist())
+    nz = a.nnz()
+    scale = 1.0 + rng.random((K, 1))
+    AxK = np.tile(a.x[:nz], (K, 1)) * scale  # SPD scaling per instance
+    B = rng.standard_normal((K, n))
+    X = rs.cholsol_vals(a, AxK, B, 0)
+    for k in range(K):
+        want = np.linalg.solve(d0 * scale[k, 0], B[k])
+        np.testing.assert_allclose(X[k], want, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("seed,m,n,K", [(0, 60, 35, 4), (1, 30, 55, 3)])
+def test_qrsol_vals_random(seed, m, n, K):
+    """Batched-values QR agrees with dense lstsq on random rectangular
+    batches, both orientations (small tier: host loop)."""
+    rng = np.random.default_rng(400 + seed)
+    d0 = (rng.random((m, n)) < 0.25) * rng.standard_normal((m, n))
+    for j in range(min(m, n)):  # full rank
+        d0[j % m, j] += 4.0
+    a = rs.Sprs.new_from_vec(d0.tolist())
+    nz = a.nnz()
+    scale = 1.0 + rng.random((K, 1))
+    AxK = np.tile(a.x[:nz], (K, 1)) * scale
+    B = rng.standard_normal((K, m))
+    X = rs.qrsol_vals(a, AxK, B, 2)
+    for k in range(K):
+        want, *_ = np.linalg.lstsq(d0 * scale[k, 0], B[k], rcond=None)
+        np.testing.assert_allclose(X[k], want, rtol=1e-7, atol=1e-7)

@@ -166,3 +166,19 @@ def test_qrsol_sym_reuse():
     sw = sqr(rs.transpose(aw), 2, True)
     got_w = np.asarray(rs.qrsol(aw, list(bw) + [0.0] * 8, 2, sym=sw))
     np.testing.assert_allclose(got_w, want_w, rtol=0, atol=1e-10)
+
+
+def test_qrsol_underdetermined_numpy_b_writeback():
+    """Underdetermined qrsol with a NUMPY b (fixed-size, cannot grow like
+    the reference's Vec): the solution arrives via the return value and
+    the writeback must not raise (regression: broadcast error)."""
+    a = rs.Sprs.new_from_file(f"{ASSETS}/qrsol_8.sprs")  # 200x201, m < n
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(a.m)
+    keep = b.copy()
+    x = np.asarray(rs.qrsol(a, b, 2))
+    assert x.shape == (a.n,)
+    resid = np.abs(np.asarray(rs.gaxpy(a, list(x), [0.0] * a.m)) - keep).max()
+    assert resid < 1e-8
+    # b untouched (no partial garbage writeback)
+    assert np.array_equal(b, keep)
