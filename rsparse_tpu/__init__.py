@@ -90,6 +90,7 @@ from .solve import (  # noqa: E402
     qrsol_ls,
     cholsol_multi,
     cholsol_vals,
+    lusol_vals,
     qrsol_vals,
     lusol_multi,
     qrsol_multi,
@@ -117,6 +118,7 @@ __all__ += [
     "qrsol_ls",
     "cholsol_multi",
     "cholsol_vals",
+    "lusol_vals",
     "qrsol_vals",
     "lusol_multi",
     "qrsol_multi",

@@ -992,22 +992,19 @@ def _lu_mf_values(Ax, plan: LUMFPlan, tolv, dev):
     return Lx, Ux, margins, bads, cache, perm_parts
 
 
-def _finalize_cache(plan: LUMFPlan, cache, permh: np.ndarray, ofs: int = 0):
-    """Host pass after a successful factorization: compose the per-front
-    device pivot perms with the recursive skeleton perm.
+def _compose_elim(plan: LUMFPlan, permh: np.ndarray, ofs: int,
+                  out_inners: list):
+    """Pure host integer pass: compose the per-front device pivot perms
+    with the recursive skeleton perm (consumed from the single `permh`
+    readback in traversal order via `ofs`).
 
-    `permh` is the single host readback of the concatenated perm_parts from
-    _lu_mf_values, consumed in the same traversal order via `ofs` (one
-    transfer instead of a ~17 ms tunnel round-trip per bucket).
-
-    Returns (elim, new_cache, ofs): elim[e] = pre-pivot k-row eliminated at
-    step e in this plan's space; new_cache carries the inner elimination map
-    the solve path needs to convert Ds (pre-pivot compact) to inner-elim
-    order."""
+    Appends each nesting level's inner elimination map to `out_inners`
+    in POST-ORDER (children before self — the order `_attach_inners`
+    consumes). Returns (elim, ofs): elim[e] = pre-pivot k-row eliminated
+    at step e in this plan's space."""
     n = plan.n
     elim = np.arange(n, dtype=np.int64)
-    fronts, _Lxs, _Uxs, sub_cache, _ = cache
-    for b, fv in zip(plan.buckets, fronts):
+    for b in plan.buckets:
         srow = b.srow
         F, spn = srow.shape
         permh_b = permh[ofs : ofs + F * spn].reshape(F, spn)
@@ -1020,8 +1017,7 @@ def _finalize_cache(plan: LUMFPlan, cache, permh: np.ndarray, ofs: int = 0):
             aa = int(srow[t, 0])
             elim[aa : aa + s] = aa + permh_b[t, :s]
     if isinstance(plan.skel_plan, LUMFPlan):
-        inner, sub_cache, ofs = _finalize_cache(
-            plan.skel_plan, sub_cache, permh, ofs)
+        inner, ofs = _compose_elim(plan.skel_plan, permh, ofs, out_inners)
     elif isinstance(plan.skel_plan, DenseSkelPlan):
         ns = plan.skel_plan.ns
         inner = permh[ofs : ofs + ns].astype(np.int64)  # dense pivot perm
@@ -1029,8 +1025,39 @@ def _finalize_cache(plan: LUMFPlan, cache, permh: np.ndarray, ofs: int = 0):
     else:
         inner = np.arange(len(plan.skel), dtype=np.int64)
     elim[plan.skel] = plan.skel[inner]
-    new_cache = (fronts, _Lxs, _Uxs, sub_cache,
-                 jnp.asarray(inner.astype(np.int32)))
+    out_inners.append(inner)
+    return elim, ofs
+
+
+def _attach_inners(plan: LUMFPlan, cache, inners: list, idx: int = 0):
+    """Rebuild the cache tree with the given inner-elimination leaves
+    (post-order, matching `_compose_elim`). `inners` entries may carry a
+    leading batch axis (vmapped factorization) — the solve core gathers
+    through them per instance either way."""
+    fronts, Lxs, Uxs, sub_cache, _ = cache
+    if isinstance(plan.skel_plan, LUMFPlan):
+        sub_cache, idx = _attach_inners(plan.skel_plan, sub_cache, inners,
+                                        idx)
+    new_cache = (fronts, Lxs, Uxs, sub_cache, inners[idx])
+    return new_cache, idx + 1
+
+
+def _finalize_cache(plan: LUMFPlan, cache, permh: np.ndarray, ofs: int = 0):
+    """Host pass after a successful factorization: compose the per-front
+    device pivot perms with the recursive skeleton perm.
+
+    `permh` is the single host readback of the concatenated perm_parts from
+    _lu_mf_values, consumed in the same traversal order via `ofs` (one
+    transfer instead of a ~17 ms tunnel round-trip per bucket).
+
+    Returns (elim, new_cache, ofs): elim[e] = pre-pivot k-row eliminated at
+    step e in this plan's space; new_cache carries the inner elimination map
+    the solve path needs to convert Ds (pre-pivot compact) to inner-elim
+    order."""
+    inners: list = []
+    elim, ofs = _compose_elim(plan, permh, ofs, inners)
+    new_cache, _ = _attach_inners(
+        plan, cache, [jnp.asarray(v.astype(np.int32)) for v in inners])
     return elim, new_cache, ofs
 
 

@@ -466,15 +466,181 @@ def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
     return np.asarray(Y)[:, pv, 0]  # pvec per instance (x = P' y)
 
 
+def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
+               sym: Optional[Symb] = None):
+    """Batched-VALUES LU solve: K square systems sharing `a`'s sparsity
+    pattern, factored and solved in TWO vmapped device programs (factor;
+    fused solve + f64 refinement) over the multifrontal pivoting tree.
+
+    The CSC factor EXPORT cannot batch — pivoting gives each instance its
+    own elimination labels — but the MF solve tree is structure-static
+    (pivot perms live inside dense fronts / the dense skeleton), so only
+    per-instance host integer bookkeeping separates the instances. The
+    static-pivot prep (MC64 row matching) comes from the PLAN's build
+    values; instances whose refinement cannot reach 1e-10·scale fall back
+    one-by-one to the reference-exact host engine, so per-instance
+    accuracy matches `lusol`.
+
+    Ax: [K, nnz(a)]; B: [K, n] or [n] broadcast. Returns X [K, n].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .factor.frontal_lu import (_attach_inners, _collect_lu_dev,
+                                    _collect_lu_sdev, _compose_elim,
+                                    _lu_factor_dtype, _lu_mf_values,
+                                    _prep_lu_factor_indices,
+                                    _prep_lu_solve_indices, _solve_lu_mf_dev)
+    from .symbolic import sqr
+
+    n = a.n
+    if a.m != n:
+        raise ValueError(f"lusol_vals needs a square matrix, got {a.m}x{n}")
+    nz = a.nnz()
+    AxK = np.asarray(Ax, dtype=np.float64)
+    if AxK.ndim != 2 or AxK.shape[1] != nz:
+        raise ValueError(f"Ax must be [K, nnz(a)] = [K, {nz}], got "
+                         f"{AxK.shape}")
+    K = AxK.shape[0]
+    Bm = np.asarray(B, dtype=np.float64)
+    if Bm.ndim == 1:
+        Bm = np.broadcast_to(Bm, (K, n))
+    if Bm.shape != (K, n):
+        raise ValueError(f"B must be [K, n] or [n], got {Bm.shape}")
+    s = sym if sym is not None else sqr(a, order, False)
+    plan = getattr(s, "_mf_lu_plan", "unset")
+    if plan == "unset" and n >= config.mf_min_n:
+        from .factor.frontal_lu import build_lu_mf_plan
+
+        a0 = Sprs(nz, n, n, a.p, a.i[:nz], AxK[0])  # plan from instance 0
+        try:
+            plan = build_lu_mf_plan(a0, s)
+        except Exception:
+            plan = None
+        s._mf_lu_plan = plan
+
+    def _host_all(idx):
+        out_h = np.empty((len(idx), n), dtype=np.float64)
+        for j, k in enumerate(idx):
+            ak = Sprs(nz, n, n, a.p, a.i[:nz], AxK[k])
+            out_h[j] = lusol(ak, list(Bm[k]), order, tol, sym=s)
+        return out_h
+
+    if plan is None or plan == "unset" or config.backend == "host":
+        return _host_all(range(K))
+    _prep_lu_factor_indices(plan)
+    _prep_lu_solve_indices(plan)
+    dev = _collect_lu_dev(plan)
+    sdev = _collect_lu_sdev(plan)
+    fdt = _lu_factor_dtype(True)  # f32 on TPU; program B refines in f64
+    CxK = AxK[:, plan.vperm] if plan.vperm is not None else AxK
+    CxKd = (jnp.asarray(CxK) if fdt is None else jnp.asarray(CxK, fdt))
+    tolv = jnp.asarray(float(tol), CxKd.dtype)
+    fA = plan.__dict__.get("_vals_factor_jit")
+    if fA is None:
+        def runA(CxK, tolv, dev):
+            def one(cx):
+                _, _, margins, bads, cache, perms = _lu_mf_values(
+                    cx, plan, tolv, dev)
+                mg = (jnp.min(jnp.stack(margins)) if margins
+                      else jnp.asarray(0.0, cx.dtype))
+                bad = (jnp.any(jnp.stack(bads)) if bads
+                       else jnp.asarray(False))
+                pc = (jnp.concatenate(perms) if perms
+                      else jnp.zeros((0,), jnp.int32))
+                return jnp.stack([mg, bad.astype(cx.dtype)]), cache, pc
+
+            return jax.vmap(one)(CxK)
+
+        fA = jax.jit(runA)
+        plan.__dict__["_vals_factor_jit"] = fA
+    statsK, cacheK, permK = fA(CxKd, tolv, dev)
+    stats_h, perm_h = jax.device_get((statsK, permK))
+    ok = np.empty(K, dtype=bool)
+    pinK = np.empty((K, n), dtype=np.int64)
+    inners_K = None
+    for k in range(K):
+        ok[k] = (not bool(stats_h[k, 1])
+                 and float(stats_h[k, 0]) + float(tol) >= 1e-10)
+        inners: list = []
+        elim, _ = _compose_elim(plan, np.asarray(perm_h[k]), 0, inners)
+        if inners_K is None:
+            inners_K = [[] for _ in inners]
+        for lv, v in enumerate(inners):
+            inners_K[lv].append(v.astype(np.int32))
+        einv = np.empty(n, dtype=np.int64)
+        einv[elim] = np.arange(n)
+        pinK[k] = (einv[plan.row_pinv] if plan.row_pinv is not None
+                   else einv)
+    cacheK, _ = _attach_inners(
+        plan, cacheK, [jnp.asarray(np.stack(v)) for v in inners_K])
+    pat = plan.__dict__.get("_vals_solve_pattern")
+    if pat is None:
+        pat = (jnp.asarray(a.i[:nz].astype(np.int32)),
+               jnp.asarray(col_ids(a.p, n).astype(np.int32)))
+        plan.__dict__["_vals_solve_pattern"] = pat
+    Mi, Mj = pat
+    qv = (jnp.asarray(np.asarray(s.q, np.int64)) if s.q is not None
+          else None)
+    fB = plan.__dict__.get("_vals_solve_jit")
+    if fB is None:
+        def runB(BK, cacheK, pinK, MxK, sdev, Mi_, Mj_, *qopt):
+            q_ = qopt[0] if qopt else None
+
+            def one(b, cache, pin_k, mx):
+                ft = cache[1].dtype
+
+                def solve_once(R):
+                    Z = jnp.zeros((n, 1), jnp.float64).at[pin_k].set(R)
+                    Y = _solve_lu_mf_dev(plan, Z.astype(ft), cache, sdev)
+                    Y = Y.astype(jnp.float64)
+                    if q_ is None:
+                        return Y
+                    return jnp.zeros((n, 1), jnp.float64).at[q_].set(Y)
+
+                def amul(X):
+                    return jnp.zeros((n, 1), jnp.float64).at[Mi_].add(
+                        mx[:, None] * X[Mj_])
+
+                B64 = b.astype(jnp.float64)
+                X = solve_once(B64)
+                r = B64 - amul(X)
+                for _ in range(2):
+                    X2 = X + solve_once(r)
+                    r2 = B64 - amul(X2)
+                    better = jnp.max(jnp.abs(r2)) < jnp.max(jnp.abs(r))
+                    X = jnp.where(better, X2, X)
+                    r = jnp.where(better, r2, r)
+                return X, jnp.max(jnp.abs(r)), jnp.max(jnp.abs(X))
+
+            return jax.vmap(one)(BK, cacheK, pinK, MxK)
+
+        fB = jax.jit(runB)
+        plan.__dict__["_vals_solve_jit"] = fB
+    args = [jnp.asarray(Bm[..., None]), cacheK, jnp.asarray(pinK),
+            jnp.asarray(AxK), sdev, Mi, Mj]
+    if qv is not None:
+        args.append(qv)
+    Xk, rmaxK, xmaxK = jax.device_get(fB(*args))
+    out = np.asarray(Xk[..., 0], np.float64)
+    rmax_h = np.asarray(rmaxK)
+    xmax_h = np.asarray(xmaxK)
+    scale = np.maximum(np.abs(Bm).max(axis=1), np.maximum(xmax_h, 1.0))
+    ok &= rmax_h <= 1e-10 * scale
+    if not ok.all():  # per-instance exact fallback (rare)
+        bad_idx = np.nonzero(~ok)[0]
+        out[bad_idx] = _host_all(bad_idx)
+    return out
+
+
 def qrsol_vals(a: Sprs, Ax, B, order: int = 0, *,
                sym: Optional[Symb] = None):
     """Batched-VALUES QR solve: K systems sharing `a`'s sparsity pattern,
     least-squares (m >= n) or minimum-norm (m < n, via QR of A' — reference
     src/lib.rs:943-955), factored and solved in ONE vmapped device program
     over the multifrontal QR tree (see `cholsol_vals` for the design; the
-    K dense front QRs batch onto the MXU). LU has no `_vals` variant by
-    construction: partial pivoting makes the factor PATTERN value-dependent,
-    so same-pattern instances need not share a program.
+    K dense front QRs batch onto the MXU). See `lusol_vals` for the LU
+    member of the family.
 
     Ax: [K, nnz(a)] value rows (`a.x` is ignored); B: [K, m] per-system
     RHS, or [m] broadcast. Returns X [K, n]. `sym`: a `sqr(a, order, True)`

@@ -286,3 +286,83 @@ def test_qrsol_vals_small_fallback_and_validation():
         rs.qrsol_vals(a, AxK[:, :-1], B, 2)
     with pytest.raises(ValueError):
         rs.qrsol_vals(a, AxK, B[:, :-1], 2)
+
+
+# ---------------------------------------------------------------------------
+# lusol_vals: batched-VALUES LU (vmapped MF pivoting tree + f64 refinement)
+# ---------------------------------------------------------------------------
+
+
+def _lu_vals_fixture(g=50, K=5, seed=0):
+    a0 = _laplacian(g)
+    n, nz = a0.n, a0.nnz()
+    rng = np.random.default_rng(seed)
+    ax = a0.x[:nz] + 0.3 * rng.standard_normal(nz)  # nonsymmetric
+    a = rs.Sprs(nz, n, n, a0.p, a0.i[:nz], ax)
+    diag = a.i[:nz] == np.repeat(np.arange(n), np.diff(a.p))
+    AxK = np.tile(ax, (K, 1))
+    for k in range(K):
+        AxK[k][diag] += 2.0 + 0.5 * k
+    return a, AxK, diag
+
+
+def _densify(a, ax):
+    nz = a.nnz()
+    d = np.zeros((a.n, a.n))
+    cols = np.repeat(np.arange(a.n), np.diff(a.p))
+    d[a.i[:nz], cols] = ax
+    return d
+
+
+def test_lusol_vals_mf_matches_dense():
+    a, AxK, _ = _lu_vals_fixture()
+    assert a.n >= rs.config.mf_min_n
+    K = AxK.shape[0]
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((K, a.n))
+    s = rs.sqr(a, 1, False)
+    X = rs.lusol_vals(a, AxK, B, 1, 1e-6, sym=s)
+    for k in range(K):
+        want = np.linalg.solve(_densify(a, AxK[k]), B[k])
+        err = np.abs(X[k] - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-9
+    # agreement with the single-matrix driver
+    a1 = rs.Sprs(a.nnz(), a.n, a.n, a.p, a.i[: a.nnz()], AxK[3])
+    x1 = np.asarray(rs.lusol(a1, list(B[3]), 1, 1e-6))
+    assert np.abs(X[3] - x1).max() < 1e-9
+
+
+def test_lusol_vals_pivot_instance_in_batch():
+    """One instance with a zeroed diagonal entry (pivoting required) rides
+    the same batched program; the rest are bit-identical to a clean run."""
+    a, AxK, diag = _lu_vals_fixture(seed=2)
+    K = AxK.shape[0]
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((K, a.n))
+    s = rs.sqr(a, 1, False)
+    X = rs.lusol_vals(a, AxK, B, 1, 1e-6, sym=s)
+    bad = AxK.copy()
+    dpos = np.nonzero(diag)[0]
+    bad[2][dpos[7]] = 0.0
+    XB = rs.lusol_vals(a, bad, B, 1, 1e-6, sym=s)
+    want = np.linalg.solve(_densify(a, bad[2]), B[2])
+    err = np.abs(XB[2] - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-8
+    assert np.abs(XB[0] - X[0]).max() < 1e-12
+
+
+def test_lusol_vals_small_tier_and_validation():
+    a = rs.Sprs.new_from_file(f"{ASSETS}/lusol_3.sprs")
+    nz = a.nnz()
+    K = 3
+    AxK = np.tile(a.x[:nz], (K, 1)) * (1.0 + np.arange(K))[:, None]
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((K, a.n))
+    X = rs.lusol_vals(a, AxK, B, 1, 1e-6)
+    for k in range(K):
+        want = np.linalg.solve(_densify(a, AxK[k]), B[k])
+        assert np.abs(X[k] - want).max() < 1e-8
+    with pytest.raises(ValueError):
+        rs.lusol_vals(a, AxK[:, :-1], B)
+    with pytest.raises(ValueError):
+        rs.lusol_vals(a, AxK, B[:, :-1])
