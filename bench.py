@@ -679,17 +679,22 @@ def main():
 
     # The tunneled TPU backend can be transiently unavailable; retry init a
     # few times before giving up so a blip doesn't void the whole bench.
+    # A "success" where only CPU devices came up is also a failure: the
+    # numbers must come from the TPU, never be silently recorded from CPU.
     for attempt in range(5):
         try:
-            jax.devices()
-            break
+            if any(d.platform != "cpu" for d in jax.devices()):
+                break
+            raise RuntimeError("only CPU devices initialized")
         except RuntimeError as e:
             if attempt == 4:
                 raise
             print(f"# backend init failed ({e}); retrying in 60s", flush=True)
             time.sleep(60)
-            try:  # drop the cached init failure so the retry is real
-                jax.clear_backends()
+            try:  # drop the cached init state so the retry is real
+                from jax._src import xla_bridge as _xb
+
+                _xb._clear_backends()
             except Exception:
                 pass
 

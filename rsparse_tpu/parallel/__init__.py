@@ -505,91 +505,65 @@ def dist_cholsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
                       sym=None, axis: str = "data"):
     """Distributed batched-VALUES SPD solve: K systems sharing `a`'s
     sparsity pattern, instances sharded over the mesh `axis` — each device
-    factors+solves its K/D chunk through the vmapped multifrontal program
-    (see solve.cholsol_vals), embarrassingly parallel scale-out of the
-    parameter-sweep / time-stepping shape. One symbolic analysis and one
-    compiled executable are shared by every device.
+    factors+solves+refines its K/D chunk through the same per-instance
+    core as solve.cholsol_vals (f32 MF factor on TPU + in-program f64
+    refinement), embarrassingly parallel scale-out of the parameter-sweep
+    / time-stepping shape. One symbolic analysis and one compiled
+    executable are shared by every device.
 
     Ax: [K, nnz(a)]; B: [K, n] or [n] broadcast. Returns X [K, n]. Raises
     NotPositiveDefiniteError naming the failing instances."""
-    import rsparse_tpu as _rs
-
-    from ..errors import NotPositiveDefiniteError
-    from ..factor.frontal import (_chol_mf_values, _collect_chol_dev,
-                                  _prep_factor_indices, _prep_solve_indices,
-                                  _solve_mf_dev, build_mf_plan)
-    from ..ops.plan import symperm_plan
-    from ..symbolic import _symperm_host
+    from ..factor.frontal import (_chol_factor_dtype, _collect_chol_dev,
+                                  _prep_factor_indices, _prep_solve_indices)
+    from ..solve import (_chol_vals_fallback, _chol_vals_finish,
+                         _chol_vals_one, _chol_vals_setup,
+                         _chol_vals_static)
 
     n = a.n
-    nz = a.nnz()
-    AxK = np.asarray(Ax, dtype=np.float64)
-    if AxK.ndim != 2 or AxK.shape[1] != nz:
-        raise ValueError(f"Ax must be [K, nnz(a)] = [K, {nz}], got "
-                         f"{AxK.shape}")
-    K = AxK.shape[0]
-    Bm = np.asarray(B, dtype=np.float64)
-    if Bm.ndim == 1:
-        Bm = np.broadcast_to(Bm, (K, n))
-    if Bm.shape != (K, n):
-        raise ValueError(f"B must be [K, n] or [n], got {Bm.shape}")
-    s = sym if sym is not None else _rs.schol(a, order)
-    mfp = getattr(s, "_mf_plan", "unset")
-    if mfp == "unset":
-        from ..config import config as _cfg
-
-        c0 = _symperm_host(a, s.pinv)
-        mfp = build_mf_plan(c0, s) if n >= _cfg.mf_min_n else None
-        s._mf_plan = mfp
+    s, mfp, AxK, Bm, pv = _chol_vals_setup(a, Ax, B, order, sym)
     if mfp is None:
-        # below the MF tier distribution buys nothing; single-process path
-        from ..solve import cholsol_vals
-
-        return cholsol_vals(a, AxK, Bm, order, sym=s)
-    src = mfp.__dict__.get("_vals_src")
-    if src is None:
-        src = symperm_plan(a, s.pinv).perm
-        mfp.__dict__["_vals_src"] = src
+        # below the MF/fuse tier (or host backend) distribution buys
+        # nothing; per-instance path preserves the batched NPD contract
+        return _chol_vals_fallback(a, s, AxK, Bm, order)
+    src, Mi, Mj, offd = _chol_vals_static(mfp, a, s)
     _prep_factor_indices(mfp)
     _prep_solve_indices(mfp)
     dev = _collect_chol_dev(mfp)
+    fdt = _chol_factor_dtype(True)
+    K = AxK.shape[0]
     D = mesh.shape[axis]
     Kp = -(-K // D) * D  # pad the batch to a multiple of the shard count
-    pv = (np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None
-          else np.arange(n))
     CxK = AxK[:, src]
-    Xp = np.zeros((K, n), dtype=np.float64)
-    Xp[:, pv] = Bm
+    BK = Bm[..., None]
     if Kp != K:  # pad with copies of instance 0 (valid SPD, result dropped)
         CxK = np.concatenate([CxK, np.repeat(CxK[:1], Kp - K, axis=0)])
-        Xp = np.concatenate([Xp, np.repeat(Xp[:1], Kp - K, axis=0)])
+        BK = np.concatenate([BK, np.repeat(BK[:1], Kp - K, axis=0)])
     fn = mfp.__dict__.get("_dist_vals_jit")
     if fn is None or fn[1] is not mesh or fn[2] != axis:
-        def run(CxL, XpL, dev):
-            def one(cx, xp):
-                _, dmins, cache = _chol_mf_values(cx, mfp, dev)
-                dmin = (jnp.min(jnp.stack(dmins)) if dmins
-                        else jnp.asarray(1.0, cx.dtype))
-                return dmin, _solve_mf_dev(mfp, xp, cache)
+        def run(CxL, BL, dev, pv_, Mi_, Mj_, offd_):
+            def one(cx64, b64):
+                return _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_,
+                                      offd_, cx64, b64)
 
-            return jax.vmap(one)(CxL, XpL)
+            return jax.vmap(one)(CxL, BL)
 
         # check_vma off: the body is embarrassingly parallel (no collectives)
         # and its scan carries start from replicated zeros, which the
         # varying-axes checker rejects despite being sound here.
         jfn = jax.jit(shard_map(
             run, mesh=mesh,
-            in_specs=(P(axis), P(axis), P()),
-            out_specs=(P(axis), P(axis)), check_vma=False))
+            in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            check_vma=False))
         fn = (jfn, mesh, axis)
         mfp.__dict__["_dist_vals_jit"] = fn
-    dmin_k, Y = fn[0](jnp.asarray(CxK), jnp.asarray(Xp[..., None]), dev)
-    dh = np.asarray(dmin_k)[:K]
-    if not (dh > 0.0).all():
-        bad = np.nonzero(~(dh > 0.0))[0]
-        raise NotPositiveDefiniteError(
-            f"instances {bad.tolist()} are not positive definite")
-    return np.asarray(Y)[:K, pv, 0]
+    dmin_k, Y, rmaxK, xmaxK = fn[0](
+        jnp.asarray(CxK), jnp.asarray(BK), dev, jnp.asarray(pv),
+        Mi, Mj, offd)
+    out = np.asarray(Y[:K, :, 0], np.float64)
+    return _chol_vals_finish(
+        a, s, AxK, Bm, out, np.asarray(dmin_k)[:K],
+        np.asarray(rmaxK)[:K], np.asarray(xmaxK)[:K], order)
 
 
 __all__ += ["dist_cholsol_vals"]

@@ -374,33 +374,15 @@ def cholsol_multi(a: Sprs, B, order: int = 0, *, sym: Optional[Symb] = None):
     return out
 
 
-def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
-                 sym: Optional[Symb] = None):
-    """Batched-VALUES SPD solve: K systems A_k x_k = b_k where every A_k
-    shares `a`'s sparsity pattern and differs only in values.
+def _chol_vals_setup(a: Sprs, Ax, B, order: int, sym: Optional[Symb]):
+    """Shared validation + analysis + MF-plan resolution for the batched-
+    values SPD drivers (cholsol_vals / parallel.dist_cholsol_vals).
 
-    No reference counterpart — this is the orthogonal batching axis to
-    `cholsol_multi` (one matrix, many RHS) and a TPU-native consequence of
-    the plan/value split: the symbolic analysis, multifrontal plan, and
-    compiled executable are shared across the batch, and `jax.vmap` turns
-    the K factorizations + solves into ONE device program whose dense front
-    operations run as K-batched MXU matmuls (time-stepping / parameter-
-    sweep serving shape). Semantics per instance match `cholsol`
-    (reference src/lib.rs:377-389) in full f64 precision.
-
-    Ax: [K, nnz(a)] value rows (`a.x` is ignored); B: [K, n] per-system
-    RHS, or [n] broadcast to all K. Returns X [K, n]. Raises
-    NotPositiveDefiniteError naming the failing instances if any A_k is
-    not SPD.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from .errors import NotPositiveDefiniteError
-    from .factor.frontal import (build_mf_plan, _chol_mf_values,
-                                 _prep_factor_indices, _collect_chol_dev,
-                                 _prep_solve_indices, _solve_mf_dev)
-    from .ops.plan import symperm_plan
+    Returns (s, mfp_or_None, AxK, Bm, pv); mfp is None when the batch must
+    run the per-instance tier (small problem, host backend, plan beyond
+    the fuse cap)."""
+    from .factor.frontal import (FUSE_ENTRY_CAP, _plan_index_entries,
+                                 build_mf_plan)
     from .symbolic import schol, _symperm_host
 
     n = a.n
@@ -427,43 +409,186 @@ def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
         s._mf_plan = mfp
     pv = (np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None
           else np.arange(n))
-    if mfp is None or config.backend == "host":
-        # small-problem / host tier: per-instance reference-exact solves
-        out = np.empty((K, n), dtype=np.float64)
-        for k in range(K):
-            ak = Sprs(nz, n, n, a.p, a.i[:nz], AxK[k])
+    fuse_ok = (mfp is not None and mfp.__dict__.setdefault(
+        "_fuse_ok", _plan_index_entries(mfp) <= FUSE_ENTRY_CAP))
+    if not fuse_ok or config.backend == "host":
+        mfp = None
+    return s, mfp, AxK, Bm, pv
+
+
+def _chol_vals_fallback(a: Sprs, s, AxK, Bm, order: int):
+    """Per-instance tier preserving the batched NPD contract: collect ALL
+    failing instances, then raise naming them."""
+    from .errors import NotPositiveDefiniteError
+
+    n, nz = a.n, a.nnz()
+    K = AxK.shape[0]
+    out = np.empty((K, n), dtype=np.float64)
+    bad = []
+    for k in range(K):
+        ak = Sprs(nz, n, n, a.p, a.i[:nz], AxK[k])
+        try:
             out[k] = cholsol(ak, Bm[k].copy(), order, sym=s)
+        except NotPositiveDefiniteError:
+            bad.append(k)
+    if bad:
+        raise NotPositiveDefiniteError(
+            f"instances {bad} are not positive definite")
+    return out
+
+
+def _chol_vals_static(mfp, a: Sprs, s):
+    """Pattern-static tensors for the batched-values program, cached on the
+    plan: the symperm value gather `src`, and the symmetrized-COO residual
+    pattern in ORIGINAL row order (mirrors `_sym_coo`: Mi/Mj index rows/
+    cols, per-instance values are concat(cx, cx[offd_idx]))."""
+    st = mfp.__dict__.get("_vals_static")
+    if st is None:
+        import jax.numpy as jnp
+
+        from .ops.plan import symperm_plan
+
+        n = a.n
+        cp = symperm_plan(a, s.pinv)
+        ci = cp.out_i.astype(np.int64)
+        cj = col_ids(cp.out_p, n)
+        offd = ci != cj
+        Mi = np.concatenate([ci, cj[offd]])
+        Mj = np.concatenate([cj, ci[offd]])
+        if s.pinv is not None:
+            porder = np.argsort(np.asarray(s.pinv, np.int64))
+            Mi = porder[Mi]
+            Mj = porder[Mj]
+        st = (cp.perm,
+              jnp.asarray(Mi.astype(np.int32)),
+              jnp.asarray(Mj.astype(np.int32)),
+              jnp.asarray(np.nonzero(offd)[0].astype(np.int32)))
+        mfp.__dict__["_vals_static"] = st
+    return st
+
+
+def _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_, offd_, cx64, b64,
+                   steps: int = 2):
+    """Traced per-instance core shared by cholsol_vals and
+    parallel.dist_cholsol_vals: factor in `fdt` (f32 on TPU — MXU-eligible
+    dense fronts), MF solve, then `steps` keep-best f64 refinement
+    iterations against the symmetrized residual (the matrix chol actually
+    factored — see `_sym_coo`). cx64: [cnnz] symperm'd f64 values;
+    b64: [n, 1] RHS in original row order. Returns (dmin, X [n,1] f64,
+    max|r|, max|X|)."""
+    import jax.numpy as jnp
+
+    from .factor.frontal import _chol_mf_values, _solve_mf_dev
+
+    cx = cx64 if fdt is None else cx64.astype(fdt)
+    _, dmins, cache = _chol_mf_values(cx, mfp, dev)
+    dmin = (jnp.min(jnp.stack(dmins)) if dmins
+            else jnp.asarray(1.0, cx.dtype))
+    ft = cache[1].dtype
+    mx = jnp.concatenate([cx64, cx64[offd_]])
+
+    def solve_once(R):  # original row order -> original row order
+        Z = jnp.zeros((n, 1), jnp.float64).at[pv_].set(R)  # ipvec
+        Y = _solve_mf_dev(mfp, Z.astype(ft), cache).astype(jnp.float64)
+        return Y[pv_]  # pvec
+
+    def amul(X):
+        return jnp.zeros((n, 1), jnp.float64).at[Mi_].add(
+            mx[:, None] * X[Mj_])
+
+    X = solve_once(b64)
+    r = b64 - amul(X)
+    for _ in range(steps):
+        X2 = X + solve_once(r)
+        r2 = b64 - amul(X2)
+        better = jnp.max(jnp.abs(r2)) < jnp.max(jnp.abs(r))
+        X = jnp.where(better, X2, X)
+        r = jnp.where(better, r2, r)
+    return dmin, X, jnp.max(jnp.abs(r)), jnp.max(jnp.abs(X))
+
+
+def _chol_vals_finish(a: Sprs, s, AxK, Bm, out, dmin_h, rmax_h, xmax_h,
+                      order: int):
+    """Accept/fallback pass shared by the batched-values SPD drivers.
+
+    dmin <= 0 under an f32 factor can be spurious for a genuinely PD
+    instance (see factor.chol's f64 retry), and refinement may fall short
+    of 1e-10·scale — both cases re-solve that instance through the exact f64
+    `cholsol`, which raises true NPD itself. Raises naming ALL truly NPD
+    instances."""
+    from .errors import NotPositiveDefiniteError
+
+    n, nz = a.n, a.nnz()
+    scale = np.maximum(np.abs(Bm).max(axis=1), np.maximum(xmax_h, 1.0))
+    redo = (~(dmin_h > 0.0)) | (rmax_h > 1e-10 * scale)
+    if not redo.any():
         return out
-    # value gather map of the symperm the plan was built on
-    src = mfp.__dict__.get("_vals_src")
-    if src is None:
-        src = symperm_plan(a, s.pinv).perm
-        mfp.__dict__["_vals_src"] = src
+    bad = []
+    for k in np.nonzero(redo)[0]:
+        ak = Sprs(nz, n, n, a.p, a.i[:nz], AxK[k])
+        try:
+            out[k] = cholsol(ak, Bm[k].copy(), order, sym=s)
+        except NotPositiveDefiniteError:
+            bad.append(int(k))
+    if bad:
+        raise NotPositiveDefiniteError(
+            f"instances {bad} are not positive definite")
+    return out
+
+
+def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
+                 sym: Optional[Symb] = None):
+    """Batched-VALUES SPD solve: K systems A_k x_k = b_k where every A_k
+    shares `a`'s sparsity pattern and differs only in values.
+
+    No reference counterpart — this is the orthogonal batching axis to
+    `cholsol_multi` (one matrix, many RHS) and a TPU-native consequence of
+    the plan/value split: the symbolic analysis, multifrontal plan, and
+    compiled executable are shared across the batch, and `jax.vmap` turns
+    the K factorizations + solves into ONE device program. On TPU the
+    factor runs in f32 (K-batched MXU dense fronts) and the same program
+    refines each instance in f64 against the symmetrized residual, so
+    per-instance accuracy matches `cholsol` (reference src/lib.rs:377-389);
+    instances refinement cannot recover re-solve exactly one-by-one.
+
+    Ax: [K, nnz(a)] value rows (`a.x` is ignored); B: [K, n] per-system
+    RHS, or [n] broadcast to all K. Returns X [K, n]. Raises
+    NotPositiveDefiniteError naming the failing instances if any A_k is
+    not SPD.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .factor.frontal import (_chol_factor_dtype, _collect_chol_dev,
+                                 _prep_factor_indices, _prep_solve_indices)
+
+    n = a.n
+    s, mfp, AxK, Bm, pv = _chol_vals_setup(a, Ax, B, order, sym)
+    if mfp is None:
+        return _chol_vals_fallback(a, s, AxK, Bm, order)
+    src, Mi, Mj, offd = _chol_vals_static(mfp, a, s)
     _prep_factor_indices(mfp)
     _prep_solve_indices(mfp)
     dev = _collect_chol_dev(mfp)
+    fdt = _chol_factor_dtype(True)  # f32 on TPU; in-program f64 refinement
     fn = mfp.__dict__.get("_vals_jit")
     if fn is None:
-        def run(CxK, XpK, dev):
-            def one(cx, xp):
-                _, dmins, cache = _chol_mf_values(cx, mfp, dev)
-                dmin = (jnp.min(jnp.stack(dmins)) if dmins
-                        else jnp.asarray(1.0, cx.dtype))
-                return dmin, _solve_mf_dev(mfp, xp, cache)
+        def run(CxK, BK, dev, pv_, Mi_, Mj_, offd_):
+            def one(cx64, b64):
+                return _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_,
+                                      offd_, cx64, b64)
 
-            return jax.vmap(one)(CxK, XpK)
+            return jax.vmap(one)(CxK, BK)
 
         fn = jax.jit(run)
         mfp.__dict__["_vals_jit"] = fn
-    Xp = np.zeros((K, n), dtype=np.float64)
-    Xp[:, pv] = Bm  # ipvec per instance (x = P b)
-    dmin_k, Y = fn(jnp.asarray(AxK[:, src]), jnp.asarray(Xp[..., None]), dev)
-    dh = np.asarray(dmin_k)
-    if not (dh > 0.0).all():
-        bad = np.nonzero(~(dh > 0.0))[0]
-        raise NotPositiveDefiniteError(
-            f"instances {bad.tolist()} are not positive definite")
-    return np.asarray(Y)[:, pv, 0]  # pvec per instance (x = P' y)
+    dmin_k, Y, rmaxK, xmaxK = fn(
+        jnp.asarray(AxK[:, src]), jnp.asarray(Bm[..., None]), dev,
+        jnp.asarray(pv), Mi, Mj, offd)
+    dmin_h, rmax_h, xmax_h = jax.device_get((dmin_k, rmaxK, xmaxK))
+    out = np.asarray(Y[..., 0], np.float64)
+    return _chol_vals_finish(a, s, AxK, Bm, out, np.asarray(dmin_h),
+                             np.asarray(rmax_h), np.asarray(xmax_h), order)
 
 
 def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
@@ -490,7 +615,7 @@ def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
                                     _collect_lu_sdev, _compose_elim,
                                     _lu_factor_dtype, _lu_mf_values,
                                     _prep_lu_factor_indices,
-                                    _prep_lu_solve_indices, _solve_lu_mf_dev)
+                                    _prep_lu_solve_indices)
     from .symbolic import sqr
 
     n = a.n
@@ -526,7 +651,16 @@ def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
             out_h[j] = lusol(ak, list(Bm[k]), order, tol, sym=s)
         return out_h
 
-    if plan is None or plan == "unset" or config.backend == "host":
+    from .factor.frontal import FUSE_ENTRY_CAP
+    from .factor.frontal_lu import _lu_plan_index_entries
+
+    fuse_ok = (plan is not None and plan != "unset"
+               and plan.__dict__.setdefault(
+                   "_fuse_ok", _lu_plan_index_entries(plan)
+                   <= FUSE_ENTRY_CAP))
+    if plan is None or plan == "unset" or not fuse_ok \
+            or config.backend == "host":
+        # per-instance driver (handles eager MF / host dispatch itself)
         return _host_all(range(K))
     _prep_lu_factor_indices(plan)
     _prep_lu_solve_indices(plan)
@@ -588,30 +722,8 @@ def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
             q_ = qopt[0] if qopt else None
 
             def one(b, cache, pin_k, mx):
-                ft = cache[1].dtype
-
-                def solve_once(R):
-                    Z = jnp.zeros((n, 1), jnp.float64).at[pin_k].set(R)
-                    Y = _solve_lu_mf_dev(plan, Z.astype(ft), cache, sdev)
-                    Y = Y.astype(jnp.float64)
-                    if q_ is None:
-                        return Y
-                    return jnp.zeros((n, 1), jnp.float64).at[q_].set(Y)
-
-                def amul(X):
-                    return jnp.zeros((n, 1), jnp.float64).at[Mi_].add(
-                        mx[:, None] * X[Mj_])
-
-                B64 = b.astype(jnp.float64)
-                X = solve_once(B64)
-                r = B64 - amul(X)
-                for _ in range(2):
-                    X2 = X + solve_once(r)
-                    r2 = B64 - amul(X2)
-                    better = jnp.max(jnp.abs(r2)) < jnp.max(jnp.abs(r))
-                    X = jnp.where(better, X2, X)
-                    r = jnp.where(better, r2, r)
-                return X, jnp.max(jnp.abs(r)), jnp.max(jnp.abs(X))
+                return _lu_refine_body(plan, n, b.astype(jnp.float64),
+                                       cache, sdev, Mi_, Mj_, mx, pin_k, q_)
 
             return jax.vmap(one)(BK, cacheK, pinK, MxK)
 
@@ -668,21 +780,28 @@ def qrsol_vals(a: Sprs, Ax, B, order: int = 0, *,
         raise ValueError(f"B must be [K, m] = [{K}, {m}] or [m], got "
                          f"{Bm.shape}")
     ls = m >= n
-    if ls:
-        host_a, vmap_ax = a, AxK
-    else:
-        host_a = ops.transpose(a)  # factor A' (minimum-norm branch)
-        vmap_ax = AxK[:, transpose_plan(a).perm]
-    s = sym if sym is not None else sqr(host_a, order, True)
+    host_a = a if ls else None  # A' materialized lazily (warm calls skip it)
+
+    def _get_host_a():
+        nonlocal host_a
+        if host_a is None:
+            host_a = ops.transpose(a)  # factor A' (minimum-norm branch)
+        return host_a
+
+    s = sym if sym is not None else sqr(_get_host_a(), order, True)
     plan = getattr(s, "_mf_qr_plan", "unset")
-    if plan == "unset" and host_a.n >= config.mf_min_n:
+    if plan == "unset" and (n if ls else m) >= config.mf_min_n:
         from .factor.frontal_qr import build_qr_mf_plan
 
         try:
-            plan = build_qr_mf_plan(host_a, s)
+            plan = build_qr_mf_plan(_get_host_a(), s)
         except Exception:
             plan = None
         s._mf_qr_plan = plan
+    # no FUSE_ENTRY_CAP here: qr_mf itself fuses the whole tree in one jit
+    # by design (dense lax.qr fronts compile cheaply per index entry,
+    # measured fine at the 8000^2 qrsol_3 scale), so the vmapped variant
+    # follows the same policy.
     if plan is None or plan == "unset" or config.backend == "host":
         # per-instance reference-shaped solves (small / inapplicable tier)
         out = np.empty((K, n), dtype=np.float64)
@@ -690,6 +809,7 @@ def qrsol_vals(a: Sprs, Ax, B, order: int = 0, *,
             ak = Sprs(nz, m, n, a.p, a.i[:nz], AxK[k])
             out[k] = qrsol(ak, list(Bm[k]), order, sym=s)
         return out
+    vmap_ax = AxK if ls else AxK[:, transpose_plan(a).perm]
     _prep_qr_indices(plan)
     devs = [b.__dict__["_dev"] for lev in plan.levels for b in lev]
     sdevs = [b.__dict__["_sdev"] for lev in plan.levels for b in lev]
@@ -1664,6 +1784,43 @@ def _values_fp(a: Sprs):
     return (nz, hash(np.ascontiguousarray(a.x[:nz]).tobytes()))
 
 
+def _lu_refine_body(plan, n, B64, cache, sdev, Mi_, Mj_, mx, pin_, q_,
+                    steps: int = 2):
+    """Traced core shared by `_lu_mf_solve_fused` (one cache, [n, nrhs]
+    batch) and `lusol_vals` (vmapped per instance): MF-LU solve + `steps`
+    keep-best f64 refinement iterations against the COO residual. All
+    index tensors arrive as arguments (compile-size discipline). Returns
+    (X [n, nrhs] f64, max|r|, max|X|)."""
+    import jax.numpy as jnp
+
+    from .factor.frontal_lu import _solve_lu_mf_dev
+
+    ft = cache[1].dtype
+    nrhs = B64.shape[1]
+
+    def solve_once(R):  # original row order -> original col order
+        Z = jnp.zeros((n, nrhs), jnp.float64).at[pin_].set(R)
+        Y = _solve_lu_mf_dev(plan, Z.astype(ft), cache, sdev)
+        Y = Y.astype(jnp.float64)
+        if q_ is None:
+            return Y
+        return jnp.zeros((n, nrhs), jnp.float64).at[q_].set(Y)
+
+    def amul(X):
+        return jnp.zeros((n, nrhs), jnp.float64).at[Mi_].add(
+            mx[:, None] * X[Mj_])
+
+    X = solve_once(B64)
+    r = B64 - amul(X)
+    for _ in range(steps):
+        X2 = X + solve_once(r)
+        r2 = B64 - amul(X2)
+        better = jnp.max(jnp.abs(r2)) < jnp.max(jnp.abs(r))
+        X = jnp.where(better, X2, X)
+        r = jnp.where(better, r2, r)
+    return X, jnp.max(jnp.abs(r)), jnp.max(jnp.abs(X))
+
+
 def _lu_mf_solve_fused(a: Sprs, s, nm, mfp, Bm: np.ndarray,
                        steps: int = 2):
     """ONE fused device program for the MF-LU solve + `steps` f64
@@ -1678,8 +1835,8 @@ def _lu_mf_solve_fused(a: Sprs, s, nm, mfp, Bm: np.ndarray,
     import jax
     import jax.numpy as jnp
 
-    from .factor.frontal_lu import (_collect_lu_sdev, _prep_lu_solve_indices,
-                                    _solve_lu_mf_dev)
+    from .factor.frontal_lu import (_collect_lu_sdev,
+                                    _prep_lu_solve_indices)
 
     tree = mfp.__dict__.get("_cache_tree")
     if tree is None:
@@ -1702,31 +1859,8 @@ def _lu_mf_solve_fused(a: Sprs, s, nm, mfp, Bm: np.ndarray,
     if fn is None:
         def run(B, cache, sdev, Mi_, Mj_, Mx_, pin_, *qopt):
             q_ = qopt[0] if qopt else None
-            ft = cache[1].dtype
-            nrhs = B.shape[1]
-
-            def solve_once(R):  # original row order -> original col order
-                Z = jnp.zeros((n, nrhs), jnp.float64).at[pin_].set(R)
-                Y = _solve_lu_mf_dev(mfp, Z.astype(ft), cache, sdev)
-                Y = Y.astype(jnp.float64)
-                if q_ is None:
-                    return Y
-                return jnp.zeros((n, nrhs), jnp.float64).at[q_].set(Y)
-
-            def amul(X):
-                return jnp.zeros((n, nrhs), jnp.float64).at[Mi_].add(
-                    Mx_[:, None] * X[Mj_])
-
-            B64 = B.astype(jnp.float64)
-            X = solve_once(B64)
-            r = B64 - amul(X)
-            for _ in range(steps):
-                X2 = X + solve_once(r)
-                r2 = B64 - amul(X2)
-                better = jnp.max(jnp.abs(r2)) < jnp.max(jnp.abs(r))
-                X = jnp.where(better, X2, X)
-                r = jnp.where(better, r2, r)
-            return X, jnp.max(jnp.abs(r)), jnp.max(jnp.abs(X))
+            return _lu_refine_body(mfp, n, B.astype(jnp.float64), cache,
+                                   sdev, Mi_, Mj_, Mx_, pin_, q_, steps)
 
         fn = jax.jit(run)
         mfp.__dict__["_fused_solve_jit"] = fn
@@ -1934,8 +2068,14 @@ def _qr_mf_try(a: Sprs, s: Symb):
         except Exception:
             plan = None
         s._mf_qr_plan = plan
-    if plan is not None and plan.__dict__.get("_cache_q") is None:
-        qr_mf(a, s, plan)
+    if plan is not None:
+        # the cached factor bakes A's VALUES — sym reuse with refreshed
+        # values must refactor (fingerprint check, like the serve handles)
+        fp = _values_fp(a)
+        if (plan.__dict__.get("_cache_q") is None
+                or plan.__dict__.get("_cache_fp") != fp):
+            qr_mf(a, s, plan)
+            plan.__dict__["_cache_fp"] = fp
     return plan
 
 

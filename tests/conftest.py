@@ -25,3 +25,12 @@ GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
 def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()}, devices: {jax.local_device_count()}"
+
+
+def laplacian_sprs(g):
+    """g x g 5-point-Laplacian Sprs (SPD) — shared MF-scale test fixture."""
+    from bench import laplacian_5pt
+    from rsparse_tpu.data import Sprs
+
+    n, p, i, x = laplacian_5pt(g)
+    return Sprs(len(x), n, n, p, i, x)

@@ -132,3 +132,20 @@ def test_qrsol_3_golden_device_only(monkeypatch):
     from utils import assert_eq_f_vec
 
     assert_eq_f_vec(x[: len(g["x"])], g["x"], g["tol"])
+
+
+def test_qrsol_sym_reuse_refreshed_values():
+    """sym= reuse is per sparsity PATTERN: refreshing a's values must
+    refactor the cached MF tree, not silently solve with the stale factor
+    (regression: _qr_mf_try cached _cache_q without a value fingerprint)."""
+    import numpy as np
+
+    a, _ = _sparse_ls(2000, 1600, 9000, seed=9)  # MF-scale tall matrix
+    rng = np.random.default_rng(10)
+    b = rng.standard_normal(a.m)
+    s = rs.sqr(a, 2, True)
+    x1 = np.asarray(rs.qrsol(a, list(b), 2, sym=s))
+    nz = a.nnz()
+    a.x[:nz] *= 2.0  # same pattern, refreshed values
+    x2 = np.asarray(rs.qrsol(a, list(b), 2, sym=s))
+    assert np.abs(x2 - x1 / 2.0).max() < 1e-8  # NOT the stale x1

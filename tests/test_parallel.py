@@ -147,23 +147,10 @@ def test_dist_cholsol_vals_matches_single_chip():
     # instances sharded over a pure data mesh; K not divisible by D
     nd = len(jax.devices())
     mesh = par.make_mesh(data=nd)
-    g = 50  # n=2500 >= mf_min_n: exercises the vmapped MF program
-    n = g * g
-    idx = np.arange(n, dtype=np.int64)
-    gx, gy = idx // g, idx % g
-    rows, cols, vals = [idx], [idx], [np.full(n, 4.0)]
-    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        nx, ny = gx + dx, gy + dy
-        ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
-        rows.append((nx * g + ny)[ok])
-        cols.append(idx[ok])
-        vals.append(np.full(int(ok.sum()), -1.0))
-    r, c, v = (np.concatenate(t) for t in (rows, cols, vals))
-    order = np.lexsort((r, c))
-    r, c, v = r[order], c[order], v[order]
-    p = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(c, minlength=n), out=p[1:])
-    a = rs.Sprs(len(v), n, n, p, r, v)
+    from conftest import laplacian_sprs
+
+    a = laplacian_sprs(50)  # n=2500 >= mf_min_n: exercises the vmapped MF
+    n = a.n
     nz = a.nnz()
     diag = a.i[:nz] == np.repeat(np.arange(n), np.diff(a.p))
     K = nd + 3  # force batch padding

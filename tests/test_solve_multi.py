@@ -116,22 +116,9 @@ def test_qrsol_ls_minimum_norm():
 
 
 def _laplacian(g):
-    n = g * g
-    idx = np.arange(n, dtype=np.int64)
-    gx, gy = idx // g, idx % g
-    rows, cols, vals = [idx], [idx], [np.full(n, 4.0)]
-    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        nx, ny = gx + dx, gy + dy
-        ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
-        rows.append((nx * g + ny)[ok])
-        cols.append(idx[ok])
-        vals.append(np.full(int(ok.sum()), -1.0))
-    r, c, v = (np.concatenate(t) for t in (rows, cols, vals))
-    order = np.lexsort((r, c))
-    r, c, v = r[order], c[order], v[order]
-    p = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(c, minlength=n), out=p[1:])
-    return rs.Sprs(len(v), n, n, p, r, v)
+    from conftest import laplacian_sprs
+
+    return laplacian_sprs(g)
 
 
 def _vals_fixture(g=50, K=5):
