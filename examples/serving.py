@@ -83,3 +83,11 @@ for k in range(K):
     worst = max(worst, np.abs(Ad @ XK[k] - BK[k]).max())
 print(f"cholsol_vals: {K} same-pattern systems in one program, "
       f"worst residual {worst:.2e}")
+
+# 7. The same axis exists for LU and least-squares:
+#    rs.lusol_vals(A, AxK, B, order=1, tol=1e-6) — K square nonsymmetric
+#      systems through the vmapped multifrontal pivoting tree
+#    rs.qrsol_vals(A, AxK, B, order=2)           — K rectangular systems
+#      (least-squares / minimum-norm)
+# and distribution shards the instance axis over a mesh:
+#    rsparse_tpu.parallel.dist_cholsol_vals(A, AxK, B, mesh)
