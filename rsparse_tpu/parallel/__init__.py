@@ -539,7 +539,7 @@ def dist_cholsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
         CxK = np.concatenate([CxK, np.repeat(CxK[:1], Kp - K, axis=0)])
         BK = np.concatenate([BK, np.repeat(BK[:1], Kp - K, axis=0)])
     fn = mfp.__dict__.get("_dist_vals_jit")
-    if fn is None or fn[1] is not mesh or fn[2] != axis:
+    if fn is None or fn[1] is not mesh or fn[2] != axis or fn[3] != fdt:
         def run(CxL, BL, dev, pv_, Mi_, Mj_, offd_):
             def one(cx64, b64):
                 return _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_,
@@ -555,7 +555,7 @@ def dist_cholsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
             in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
             out_specs=(P(axis), P(axis), P(axis), P(axis)),
             check_vma=False))
-        fn = (jfn, mesh, axis)
+        fn = (jfn, mesh, axis, fdt)  # traced program bakes the factor dtype
         mfp.__dict__["_dist_vals_jit"] = fn
     dmin_k, Y, rmaxK, xmaxK = fn[0](
         jnp.asarray(CxK), jnp.asarray(BK), dev, jnp.asarray(pv),

@@ -571,8 +571,10 @@ def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
     _prep_solve_indices(mfp)
     dev = _collect_chol_dev(mfp)
     fdt = _chol_factor_dtype(True)  # f32 on TPU; in-program f64 refinement
-    fn = mfp.__dict__.get("_vals_jit")
-    if fn is None:
+    cached = mfp.__dict__.get("_vals_jit")
+    if cached is not None and cached[1] == fdt:
+        fn = cached[0]
+    else:  # (re)build — the traced program bakes the factor dtype
         def run(CxK, BK, dev, pv_, Mi_, Mj_, offd_):
             def one(cx64, b64):
                 return _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_,
@@ -581,7 +583,7 @@ def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
             return jax.vmap(one)(CxK, BK)
 
         fn = jax.jit(run)
-        mfp.__dict__["_vals_jit"] = fn
+        mfp.__dict__["_vals_jit"] = (fn, fdt)
     dmin_k, Y, rmaxK, xmaxK = fn(
         jnp.asarray(AxK[:, src]), jnp.asarray(Bm[..., None]), dev,
         jnp.asarray(pv), Mi, Mj, offd)

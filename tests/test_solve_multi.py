@@ -353,3 +353,40 @@ def test_lusol_vals_small_tier_and_validation():
         rs.lusol_vals(a, AxK[:, :-1], B)
     with pytest.raises(ValueError):
         rs.lusol_vals(a, AxK, B[:, :-1])
+
+
+def test_vals_mixed_precision_f32_factor():
+    """Force the f32 factor path (the TPU default) on CPU: the in-program
+    f64 refinement must recover full accuracy for both cholsol_vals and
+    lusol_vals, and the spurious-f32-NPD / residual gates must not
+    misfire on well-conditioned instances."""
+    a, AxK, _ = _vals_fixture()
+    al, AxKl, _ = _lu_vals_fixture(seed=5)
+    K = AxK.shape[0]
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((K, a.n))
+    Bl = rng.standard_normal((AxKl.shape[0], al.n))
+    old_c, old_l = rs.config.chol_factor_dtype, rs.config.lu_factor_dtype
+    rs.config.chol_factor_dtype = "float32"
+    rs.config.lu_factor_dtype = "float32"
+    # fresh Symb objects: cached _vals_jit programs bake the factor dtype
+    try:
+        s = rs.schol(a, 0)
+        X = rs.cholsol_vals(a, AxK, B, 0, sym=s)
+        Ad = a.to_dense_np()
+        dd = np.arange(a.n)
+        for k in range(K):
+            Adk = Ad.copy()
+            Adk[dd, dd] *= 1.0 + 0.5 * k
+            want = np.linalg.solve(Adk, B[k])
+            err = np.abs(X[k] - want).max() / max(1.0, np.abs(want).max())
+            assert err < 1e-9, (k, err)
+        sl = rs.sqr(al, 1, False)
+        Xl = rs.lusol_vals(al, AxKl, Bl, 1, 1e-6, sym=sl)
+        for k in range(AxKl.shape[0]):
+            want = np.linalg.solve(_densify(al, AxKl[k]), Bl[k])
+            err = np.abs(Xl[k] - want).max() / max(1.0, np.abs(want).max())
+            assert err < 1e-9, (k, err)
+    finally:
+        rs.config.chol_factor_dtype = old_c
+        rs.config.lu_factor_dtype = old_l
