@@ -468,12 +468,16 @@ def _chol_vals_static(mfp, a: Sprs, s):
 
 
 def _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_, offd_, cx64, b64,
-                   steps: int = 2):
+                   steps: int = 4):
     """Traced per-instance core shared by cholsol_vals and
     parallel.dist_cholsol_vals: factor in `fdt` (f32 on TPU — MXU-eligible
     dense fronts), MF solve, then `steps` keep-best f64 refinement
     iterations against the symmetrized residual (the matrix chol actually
-    factored — see `_sym_coo`). cx64: [cnnz] symperm'd f64 values;
+    factored — see `_sym_coo`). 4 steps, not 2: each contracts the error
+    by ~kappa*eps32, and the 1e-10*scale accept gate must clear at
+    kappa ~ 1e4-1e5 without falling back (steps are one tree solve + one
+    COO SpMV each — cheap next to the factor). cx64: [cnnz] symperm'd
+    f64 values;
     b64: [n, 1] RHS in original row order. Returns (dmin, X [n,1] f64,
     max|r|, max|X|)."""
     import jax.numpy as jnp
