@@ -566,7 +566,99 @@ def dist_cholsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
         np.asarray(rmaxK)[:K], np.asarray(xmaxK)[:K], order)
 
 
-__all__ += ["dist_cholsol_vals"]
+def dist_lusol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 1,
+                    tol: float = 1e-6, *, sym=None, axis: str = "data"):
+    """Distributed batched-VALUES LU solve: K same-pattern square systems
+    with instances sharded over the mesh `axis` — the two vmapped programs
+    of solve.lusol_vals (pivoting MF factor; fused solve+f64 refinement)
+    run shard_map'ed on each device's K/D chunk, with the host perm
+    composition (`_lu_vals_compose`) between them. Per-instance exact
+    fallback on refinement divergence preserves lusol accuracy."""
+    from ..factor.frontal_lu import (_attach_inners, _collect_lu_dev,
+                                     _collect_lu_sdev, _lu_factor_dtype,
+                                     _prep_lu_factor_indices,
+                                     _prep_lu_solve_indices)
+    from ..solve import (_lu_refine_body, _lu_vals_compose,
+                         _lu_vals_factor_one, _lu_vals_loop,
+                         _lu_vals_pattern, _lu_vals_setup)
+
+    n = a.n
+    s, plan, AxK, Bm = _lu_vals_setup(a, Ax, B, order, sym)
+    K = AxK.shape[0]
+    if plan is None:
+        return _lu_vals_loop(a, s, AxK, Bm, order, tol, range(K))
+    _prep_lu_factor_indices(plan)
+    _prep_lu_solve_indices(plan)
+    dev = _collect_lu_dev(plan)
+    sdev = _collect_lu_sdev(plan)
+    fdt = _lu_factor_dtype(True)
+    D = mesh.shape[axis]
+    Kp = -(-K // D) * D
+    CxK = AxK[:, plan.vperm] if plan.vperm is not None else AxK
+    BK = Bm[..., None]
+    AxR = AxK  # raw values for the refinement residual
+    if Kp != K:  # pad with instance-0 copies (valid, results dropped)
+        pad = Kp - K
+        CxK = np.concatenate([CxK, np.repeat(CxK[:1], pad, axis=0)])
+        BK = np.concatenate([BK, np.repeat(BK[:1], pad, axis=0)])
+        AxR = np.concatenate([AxR, np.repeat(AxR[:1], pad, axis=0)])
+    CxKd = (jnp.asarray(CxK) if fdt is None else jnp.asarray(CxK, fdt))
+    tolv = jnp.asarray(float(tol), CxKd.dtype)
+    fA = plan.__dict__.get("_dist_vals_factor_jit")
+    if fA is None or fA[1] is not mesh or fA[2] != axis or fA[3] != fdt:
+        def runA(CxL, tolv, dev):
+            return jax.vmap(
+                lambda cx: _lu_vals_factor_one(plan, cx, tolv, dev))(CxL)
+
+        jA = jax.jit(shard_map(
+            runA, mesh=mesh, in_specs=(P(axis), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
+        fA = (jA, mesh, axis, fdt)
+        plan.__dict__["_dist_vals_factor_jit"] = fA
+    statsK, cacheK, permK = fA[0](CxKd, tolv, dev)
+    stats_h, perm_h = jax.device_get((statsK, permK))
+    ok, pinK, inners = _lu_vals_compose(plan, stats_h, perm_h, n, tol)
+    cacheK, _ = _attach_inners(plan, cacheK,
+                               [jnp.asarray(v) for v in inners])
+    Mi, Mj = _lu_vals_pattern(plan, a)
+    qv = (jnp.asarray(np.asarray(s.q, np.int64)) if s.q is not None
+          else None)
+    fB = plan.__dict__.get("_dist_vals_solve_jit")
+    if fB is None or fB[1] is not mesh or fB[2] != axis:
+        def runB(BL, cacheL, pinL, MxL, sdev, Mi_, Mj_, *qopt):
+            q_ = qopt[0] if qopt else None
+
+            def one(b, cache, pin_k, mx):
+                return _lu_refine_body(plan, n, b.astype(jnp.float64),
+                                       cache, sdev, Mi_, Mj_, mx, pin_k, q_)
+
+            return jax.vmap(one)(BL, cacheL, pinL, MxL)
+
+        nq = 1 if qv is not None else 0
+        jB = jax.jit(shard_map(
+            runB, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P())
+            + (P(),) * nq,
+            out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
+        fB = (jB, mesh, axis)
+        plan.__dict__["_dist_vals_solve_jit"] = fB
+    args = [jnp.asarray(BK), cacheK, jnp.asarray(pinK),
+            jnp.asarray(AxR), sdev, Mi, Mj]
+    if qv is not None:
+        args.append(qv)
+    Xk, rmaxK, xmaxK = jax.device_get(fB[0](*args))
+    out = np.asarray(Xk[:K, :, 0], np.float64)
+    ok = ok[:K]
+    scale = np.maximum(np.abs(Bm).max(axis=1),
+                       np.maximum(np.asarray(xmaxK)[:K], 1.0))
+    ok &= np.asarray(rmaxK)[:K] <= 1e-10 * scale
+    if not ok.all():
+        bad_idx = np.nonzero(~ok)[0]
+        out[bad_idx] = _lu_vals_loop(a, s, AxK, Bm, order, tol, bad_idx)
+    return out
+
+
+__all__ += ["dist_cholsol_vals", "dist_lusol_vals"]
 
 
 # Halo-sharded layer (x sharded n/D, ppermute boundary exchange) — the

@@ -597,31 +597,12 @@ def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
                              np.asarray(rmax_h), np.asarray(xmax_h), order)
 
 
-def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
-               sym: Optional[Symb] = None):
-    """Batched-VALUES LU solve: K square systems sharing `a`'s sparsity
-    pattern, factored and solved in TWO vmapped device programs (factor;
-    fused solve + f64 refinement) over the multifrontal pivoting tree.
-
-    The CSC factor EXPORT cannot batch — pivoting gives each instance its
-    own elimination labels — but the MF solve tree is structure-static
-    (pivot perms live inside dense fronts / the dense skeleton), so only
-    per-instance host integer bookkeeping separates the instances. The
-    static-pivot prep (MC64 row matching) comes from the PLAN's build
-    values; instances whose refinement cannot reach 1e-10·scale fall back
-    one-by-one to the reference-exact host engine, so per-instance
-    accuracy matches `lusol`.
-
-    Ax: [K, nnz(a)]; B: [K, n] or [n] broadcast. Returns X [K, n].
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from .factor.frontal_lu import (_attach_inners, _collect_lu_dev,
-                                    _collect_lu_sdev, _compose_elim,
-                                    _lu_factor_dtype, _lu_mf_values,
-                                    _prep_lu_factor_indices,
-                                    _prep_lu_solve_indices)
+def _lu_vals_setup(a: Sprs, Ax, B, order: int, sym: Optional[Symb]):
+    """Shared validation + analysis + MF-plan resolution for the batched-
+    values LU drivers. Returns (s, plan_or_None, AxK, Bm); plan is None
+    when the per-instance tier must run."""
+    from .factor.frontal import FUSE_ENTRY_CAP
+    from .factor.frontal_lu import _lu_plan_index_entries
     from .symbolic import sqr
 
     n = a.n
@@ -649,53 +630,49 @@ def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
         except Exception:
             plan = None
         s._mf_lu_plan = plan
-
-    def _host_all(idx):
-        out_h = np.empty((len(idx), n), dtype=np.float64)
-        for j, k in enumerate(idx):
-            ak = Sprs(nz, n, n, a.p, a.i[:nz], AxK[k])
-            out_h[j] = lusol(ak, list(Bm[k]), order, tol, sym=s)
-        return out_h
-
-    from .factor.frontal import FUSE_ENTRY_CAP
-    from .factor.frontal_lu import _lu_plan_index_entries
-
     fuse_ok = (plan is not None and plan != "unset"
                and plan.__dict__.setdefault(
                    "_fuse_ok", _lu_plan_index_entries(plan)
                    <= FUSE_ENTRY_CAP))
-    if plan is None or plan == "unset" or not fuse_ok \
-            or config.backend == "host":
-        # per-instance driver (handles eager MF / host dispatch itself)
-        return _host_all(range(K))
-    _prep_lu_factor_indices(plan)
-    _prep_lu_solve_indices(plan)
-    dev = _collect_lu_dev(plan)
-    sdev = _collect_lu_sdev(plan)
-    fdt = _lu_factor_dtype(True)  # f32 on TPU; program B refines in f64
-    CxK = AxK[:, plan.vperm] if plan.vperm is not None else AxK
-    CxKd = (jnp.asarray(CxK) if fdt is None else jnp.asarray(CxK, fdt))
-    tolv = jnp.asarray(float(tol), CxKd.dtype)
-    fA = plan.__dict__.get("_vals_factor_jit")
-    if fA is None:
-        def runA(CxK, tolv, dev):
-            def one(cx):
-                _, _, margins, bads, cache, perms = _lu_mf_values(
-                    cx, plan, tolv, dev)
-                mg = (jnp.min(jnp.stack(margins)) if margins
-                      else jnp.asarray(0.0, cx.dtype))
-                bad = (jnp.any(jnp.stack(bads)) if bads
-                       else jnp.asarray(False))
-                pc = (jnp.concatenate(perms) if perms
-                      else jnp.zeros((0,), jnp.int32))
-                return jnp.stack([mg, bad.astype(cx.dtype)]), cache, pc
+    if plan == "unset" or not fuse_ok or config.backend == "host":
+        plan = None
+    return s, plan, AxK, Bm
 
-            return jax.vmap(one)(CxK)
 
-        fA = jax.jit(runA)
-        plan.__dict__["_vals_factor_jit"] = fA
-    statsK, cacheK, permK = fA(CxKd, tolv, dev)
-    stats_h, perm_h = jax.device_get((statsK, permK))
+def _lu_vals_loop(a: Sprs, s, AxK, Bm, order: int, tol: float, idx):
+    """Per-instance driver pass (handles eager MF / host dispatch itself)."""
+    n, nz = a.n, a.nnz()
+    out_h = np.empty((len(idx), n), dtype=np.float64)
+    for j, k in enumerate(idx):
+        ak = Sprs(nz, n, n, a.p, a.i[:nz], AxK[k])
+        out_h[j] = lusol(ak, list(Bm[k]), order, tol, sym=s)
+    return out_h
+
+
+def _lu_vals_factor_one(plan, cx, tolv, dev):
+    """Per-instance traced factor body (shared by lusol_vals and
+    parallel.dist_lusol_vals): returns (stats [2] = [min margin, bad],
+    cache tree, concatenated pivot perms)."""
+    import jax.numpy as jnp
+
+    from .factor.frontal_lu import _lu_mf_values
+
+    _, _, margins, bads, cache, perms = _lu_mf_values(cx, plan, tolv, dev)
+    mg = (jnp.min(jnp.stack(margins)) if margins
+          else jnp.asarray(0.0, cx.dtype))
+    bad = jnp.any(jnp.stack(bads)) if bads else jnp.asarray(False)
+    pc = (jnp.concatenate(perms) if perms
+          else jnp.zeros((0,), jnp.int32))
+    return jnp.stack([mg, bad.astype(cx.dtype)]), cache, pc
+
+
+def _lu_vals_compose(plan, stats_h, perm_h, n: int, tol: float):
+    """Host integer pass after the batched factor: per-instance accept
+    flags, composed row pinv, and the stacked inner-elimination leaves
+    (numpy [K, ...] per nesting level, `_attach_inners` order)."""
+    from .factor.frontal_lu import _compose_elim
+
+    K = stats_h.shape[0]
     ok = np.empty(K, dtype=bool)
     pinK = np.empty((K, n), dtype=np.int64)
     inners_K = None
@@ -712,14 +689,75 @@ def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
         einv[elim] = np.arange(n)
         pinK[k] = (einv[plan.row_pinv] if plan.row_pinv is not None
                    else einv)
-    cacheK, _ = _attach_inners(
-        plan, cacheK, [jnp.asarray(np.stack(v)) for v in inners_K])
+    return ok, pinK, [np.stack(v) for v in inners_K]
+
+
+def _lu_vals_pattern(plan, a: Sprs):
+    """Device-resident COO pattern of A (original order) for the batched
+    refinement, cached on the plan."""
+    import jax.numpy as jnp
+
     pat = plan.__dict__.get("_vals_solve_pattern")
     if pat is None:
+        nz = a.nnz()
         pat = (jnp.asarray(a.i[:nz].astype(np.int32)),
-               jnp.asarray(col_ids(a.p, n).astype(np.int32)))
+               jnp.asarray(col_ids(a.p, a.n).astype(np.int32)))
         plan.__dict__["_vals_solve_pattern"] = pat
-    Mi, Mj = pat
+    return pat
+
+
+def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
+               sym: Optional[Symb] = None):
+    """Batched-VALUES LU solve: K square systems sharing `a`'s sparsity
+    pattern, factored and solved in TWO vmapped device programs (factor;
+    fused solve + f64 refinement) over the multifrontal pivoting tree.
+
+    The CSC factor EXPORT cannot batch — pivoting gives each instance its
+    own elimination labels — but the MF solve tree is structure-static
+    (pivot perms live inside dense fronts / the dense skeleton), so only
+    per-instance host integer bookkeeping separates the instances. The
+    static-pivot prep (MC64 row matching) comes from the PLAN's build
+    values; instances whose refinement cannot reach 1e-10·scale fall back
+    one-by-one to the reference-exact host engine, so per-instance
+    accuracy matches `lusol`.
+
+    Ax: [K, nnz(a)]; B: [K, n] or [n] broadcast. Returns X [K, n].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .factor.frontal_lu import (_attach_inners, _collect_lu_dev,
+                                    _collect_lu_sdev, _lu_factor_dtype,
+                                    _prep_lu_factor_indices,
+                                    _prep_lu_solve_indices)
+
+    n = a.n
+    s, plan, AxK, Bm = _lu_vals_setup(a, Ax, B, order, sym)
+    K = AxK.shape[0]
+    if plan is None:
+        return _lu_vals_loop(a, s, AxK, Bm, order, tol, range(K))
+    _prep_lu_factor_indices(plan)
+    _prep_lu_solve_indices(plan)
+    dev = _collect_lu_dev(plan)
+    sdev = _collect_lu_sdev(plan)
+    fdt = _lu_factor_dtype(True)  # f32 on TPU; program B refines in f64
+    CxK = AxK[:, plan.vperm] if plan.vperm is not None else AxK
+    CxKd = (jnp.asarray(CxK) if fdt is None else jnp.asarray(CxK, fdt))
+    tolv = jnp.asarray(float(tol), CxKd.dtype)
+    fA = plan.__dict__.get("_vals_factor_jit")
+    if fA is None:
+        def runA(CxK, tolv, dev):
+            return jax.vmap(
+                lambda cx: _lu_vals_factor_one(plan, cx, tolv, dev))(CxK)
+
+        fA = jax.jit(runA)
+        plan.__dict__["_vals_factor_jit"] = fA
+    statsK, cacheK, permK = fA(CxKd, tolv, dev)
+    stats_h, perm_h = jax.device_get((statsK, permK))
+    ok, pinK, inners = _lu_vals_compose(plan, stats_h, perm_h, n, tol)
+    cacheK, _ = _attach_inners(plan, cacheK,
+                               [jnp.asarray(v) for v in inners])
+    Mi, Mj = _lu_vals_pattern(plan, a)
     qv = (jnp.asarray(np.asarray(s.q, np.int64)) if s.q is not None
           else None)
     fB = plan.__dict__.get("_vals_solve_jit")
@@ -741,13 +779,12 @@ def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
         args.append(qv)
     Xk, rmaxK, xmaxK = jax.device_get(fB(*args))
     out = np.asarray(Xk[..., 0], np.float64)
-    rmax_h = np.asarray(rmaxK)
-    xmax_h = np.asarray(xmaxK)
-    scale = np.maximum(np.abs(Bm).max(axis=1), np.maximum(xmax_h, 1.0))
-    ok &= rmax_h <= 1e-10 * scale
+    scale = np.maximum(np.abs(Bm).max(axis=1),
+                       np.maximum(np.asarray(xmaxK), 1.0))
+    ok &= np.asarray(rmaxK) <= 1e-10 * scale
     if not ok.all():  # per-instance exact fallback (rare)
         bad_idx = np.nonzero(~ok)[0]
-        out[bad_idx] = _host_all(bad_idx)
+        out[bad_idx] = _lu_vals_loop(a, s, AxK, Bm, order, tol, bad_idx)
     return out
 
 

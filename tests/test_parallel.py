@@ -167,3 +167,28 @@ def test_dist_cholsol_vals_matches_single_chip():
     bad[2][diag] = -3.0
     with pytest.raises(rs.NotPositiveDefiniteError, match=r"\[2\]"):
         par.dist_cholsol_vals(a, bad, B, mesh, 0, sym=s)
+
+
+def test_dist_lusol_vals_matches_single_chip():
+    from conftest import laplacian_sprs
+
+    nd = len(jax.devices())
+    mesh = par.make_mesh(data=nd)
+    a0 = laplacian_sprs(50)
+    n, nz = a0.n, a0.nnz()
+    rng = np.random.default_rng(8)
+    ax = a0.x[:nz] + 0.3 * rng.standard_normal(nz)  # nonsymmetric
+    a = rs.Sprs(nz, n, n, a0.p, a0.i[:nz], ax)
+    diag = a.i[:nz] == np.repeat(np.arange(n), np.diff(a.p))
+    K = nd + 3  # forces batch padding
+    AxK = np.tile(ax, (K, 1))
+    for k in range(K):
+        AxK[k][diag] += 2.0 + 0.5 * k
+    # one pivot-requiring instance rides the sharded batch
+    dpos = np.nonzero(diag)[0]
+    AxK[4][dpos[3]] = 0.0
+    B = rng.standard_normal((K, n))
+    s = rs.sqr(a, 1, False)
+    got = par.dist_lusol_vals(a, AxK, B, mesh, 1, 1e-6, sym=s)
+    want = rs.lusol_vals(a, AxK, B, 1, 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
