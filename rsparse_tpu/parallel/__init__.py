@@ -658,7 +658,92 @@ def dist_lusol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 1,
     return out
 
 
-__all__ += ["dist_cholsol_vals", "dist_lusol_vals"]
+def dist_qrsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
+                    sym=None, axis: str = "data"):
+    """Distributed batched-VALUES QR solve: K same-pattern rectangular
+    systems (least-squares m>=n, minimum-norm m<n) with instances sharded
+    over the mesh `axis` — solve.qrsol_vals's per-instance body shard_map'd
+    on each device's K/D chunk. One analysis + one executable shared."""
+    import rsparse_tpu as _rs
+
+    from ..config import config
+    from ..factor.frontal_qr import _prep_qr_indices
+    from ..ops.plan import transpose_plan
+    from ..solve import _plan_dev, _qr_vals_one, _qr_vals_rtri, qrsol
+
+    m, n = a.m, a.n
+    nz = a.nnz()
+    AxK = np.asarray(Ax, dtype=np.float64)
+    if AxK.ndim != 2 or AxK.shape[1] != nz:
+        raise ValueError(f"Ax must be [K, nnz(a)] = [K, {nz}], got "
+                         f"{AxK.shape}")
+    K = AxK.shape[0]
+    Bm = np.asarray(B, dtype=np.float64)
+    if Bm.ndim == 1:
+        Bm = np.broadcast_to(Bm, (K, m))
+    if Bm.shape != (K, m):
+        raise ValueError(f"B must be [K, m] or [m], got {Bm.shape}")
+    ls = m >= n
+    host_a = a if ls else _rs.transpose(a)
+    s = sym if sym is not None else _rs.sqr(host_a, order, True)
+    plan = getattr(s, "_mf_qr_plan", "unset")
+    if plan == "unset" and (n if ls else m) >= config.mf_min_n:
+        from ..factor.frontal_qr import build_qr_mf_plan
+
+        try:
+            plan = build_qr_mf_plan(host_a, s)
+        except Exception:
+            plan = None
+        s._mf_qr_plan = plan
+    if plan is None or plan == "unset" or config.backend == "host":
+        out = np.empty((K, n), dtype=np.float64)
+        for k in range(K):
+            ak = Sprs(nz, m, n, a.p, a.i[:nz], AxK[k])
+            out[k] = qrsol(ak, list(Bm[k]), order, sym=s)
+        return out
+    vmap_ax = AxK if ls else AxK[:, transpose_plan(a).perm]
+    _prep_qr_indices(plan)
+    devs = [b.__dict__["_dev"] for lev in plan.levels for b in lev]
+    sdevs = [b.__dict__["_sdev"] for lev in plan.levels for b in lev]
+    tp_ = _qr_vals_rtri(plan, ls)
+    if ls:
+        Z = Bm[..., None]  # row perm is embedded in the front plan
+    else:
+        bq = Bm
+        if plan.q is not None:
+            bq = Bm[:, np.asarray(plan.q, dtype=np.int64)]
+        Z = bq[..., None]
+    D = mesh.shape[axis]
+    Kp = -(-K // D) * D
+    if Kp != K:  # pad with instance-0 copies (results dropped)
+        pad = Kp - K
+        vmap_ax = np.concatenate(
+            [vmap_ax, np.repeat(vmap_ax[:1], pad, axis=0)])
+        Z = np.concatenate([Z, np.repeat(Z[:1], pad, axis=0)])
+    key = "_dist_vals_jit" if ls else "_dist_vals_mn_jit"
+    fn = plan.__dict__.get(key)
+    if fn is None or fn[1] is not mesh or fn[2] != axis:
+        def run(AxL, ZL, devs_in, sdevs_in, tridev):
+            return jax.vmap(lambda ax, z: _qr_vals_one(
+                plan, ls, tp_, devs_in, sdevs_in, tridev, ax, z))(AxL, ZL)
+
+        jfn = jax.jit(shard_map(
+            run, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P(), P()),
+            out_specs=P(axis), check_vma=False))
+        fn = (jfn, mesh, axis)
+        plan.__dict__[key] = fn
+    Y = np.asarray(fn[0](jnp.asarray(vmap_ax), jnp.asarray(Z), devs, sdevs,
+                         _plan_dev(tp_)))[:K, :, 0]
+    if ls:
+        out = np.zeros((K, n), dtype=np.float64)
+        out[:, (np.asarray(s.q, np.int64) if s.q is not None
+                else np.arange(n))] = Y  # ipvec(q) per instance
+        return out
+    return Y  # _q_apply returns original row order
+
+
+__all__ += ["dist_cholsol_vals", "dist_lusol_vals", "dist_qrsol_vals"]
 
 
 # Halo-sharded layer (x sharded n/D, ppermute boundary exchange) — the

@@ -788,6 +788,45 @@ def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
     return out
 
 
+def _qr_vals_one(plan, ls, tp_, devs_in, sdevs_in, tridev, ax, z):
+    """Per-instance traced body shared by qrsol_vals and
+    parallel.dist_qrsol_vals: MF QR fronts on this instance's values, then
+    the branch solve (Qᵀz + R sweep for least-squares; Rᵀ sweep + reverse
+    Q-apply for minimum-norm)."""
+    import jax.numpy as jnp
+
+    from .factor.frontal_qr import _q_apply, _qr_front_kernel, _qt_apply
+
+    Rx = jnp.zeros(plan.rnz + 1, dtype=ax.dtype)
+    cbx = jnp.zeros(plan.cb_total + 1, dtype=ax.dtype)
+    qs = []
+    for dev in devs_in:
+        Rx, cbx, Q = _qr_front_kernel(Rx, cbx, ax, *dev)
+        qs.append(Q)
+    qs = tuple(qs)
+    if ls:
+        c = _qt_apply(plan, z, qs, sdevs_in)
+        return _tri_sweep_multi(Rx[: plan.rnz], c, *tridev,
+                                tp_.nlev, tp_.emax, tp_.wmax, plan.n, True)
+    y = _tri_sweep_multi(Rx[: plan.rnz], z, *tridev,
+                         tp_.nlev, tp_.emax, tp_.wmax, plan.n, False)
+    return _q_apply(plan, y, qs, sdevs_in)
+
+
+def _qr_vals_rtri(plan, ls):
+    """The cached R-sweep plan for the vals drivers (usolve for the
+    least-squares branch, utsolve-on-Rᵀ for minimum-norm)."""
+    key = "_rtri" if ls else "_rtri_t"
+    tp_ = plan.__dict__.get(key)
+    if tp_ is None:
+        rmat = Sprs(plan.rnz, plan.n, plan.n, plan.Rp, plan.Ri,
+                    np.zeros(plan.rnz))
+        tp_ = tri_plan(rmat, 1 if ls else 3)
+        _plan_dev(tp_)
+        plan.__dict__[key] = tp_
+    return tp_
+
+
 def qrsol_vals(a: Sprs, Ax, B, order: int = 0, *,
                sym: Optional[Symb] = None):
     """Batched-VALUES QR solve: K systems sharing `a`'s sparsity pattern,
@@ -804,8 +843,7 @@ def qrsol_vals(a: Sprs, Ax, B, order: int = 0, *,
     import jax
     import jax.numpy as jnp
 
-    from .factor.frontal_qr import (_prep_qr_indices, _qr_front_kernel,
-                                    _qt_apply, _q_apply)
+    from .factor.frontal_qr import _prep_qr_indices
     from .ops.plan import transpose_plan
     from .symbolic import sqr
 
@@ -856,39 +894,14 @@ def qrsol_vals(a: Sprs, Ax, B, order: int = 0, *,
     _prep_qr_indices(plan)
     devs = [b.__dict__["_dev"] for lev in plan.levels for b in lev]
     sdevs = [b.__dict__["_sdev"] for lev in plan.levels for b in lev]
-    kind = 1 if ls else 3  # R\c (usolve) | R'\c (utsolve)
-    key = "_rtri" if ls else "_rtri_t"
-    tp_ = plan.__dict__.get(key)
-    if tp_ is None:
-        rmat = Sprs(plan.rnz, plan.n, plan.n, plan.Rp, plan.Ri,
-                    np.zeros(plan.rnz))
-        tp_ = tri_plan(rmat, kind)
-        _plan_dev(tp_)
-        plan.__dict__[key] = tp_
+    tp_ = _qr_vals_rtri(plan, ls)
     fn = plan.__dict__.get("_vals_jit" if ls else "_vals_mn_jit")
     if fn is None:
         # index trees flow in as jit ARGUMENTS (compile-size discipline,
         # see frontal.chol_mf); the vmapped body closes over run's args
         def run(AxK, ZK, devs_in, sdevs_in, tridev):
-            def one(ax, z):
-                Rx = jnp.zeros(plan.rnz + 1, dtype=ax.dtype)
-                cbx = jnp.zeros(plan.cb_total + 1, dtype=ax.dtype)
-                qs = []
-                for dev in devs_in:
-                    Rx, cbx, Q = _qr_front_kernel(Rx, cbx, ax, *dev)
-                    qs.append(Q)
-                qs = tuple(qs)
-                if ls:
-                    c = _qt_apply(plan, z, qs, sdevs_in)
-                    return _tri_sweep_multi(Rx[: plan.rnz], c, *tridev,
-                                            tp_.nlev, tp_.emax, tp_.wmax,
-                                            plan.n, True)
-                y = _tri_sweep_multi(Rx[: plan.rnz], z, *tridev,
-                                     tp_.nlev, tp_.emax, tp_.wmax,
-                                     plan.n, False)
-                return _q_apply(plan, y, qs, sdevs_in)
-
-            return jax.vmap(one)(AxK, ZK)
+            return jax.vmap(lambda ax, z: _qr_vals_one(
+                plan, ls, tp_, devs_in, sdevs_in, tridev, ax, z))(AxK, ZK)
 
         fn = jax.jit(run)
         plan.__dict__["_vals_jit" if ls else "_vals_mn_jit"] = fn

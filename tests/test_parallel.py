@@ -192,3 +192,35 @@ def test_dist_lusol_vals_matches_single_chip():
     got = par.dist_lusol_vals(a, AxK, B, mesh, 1, 1e-6, sym=s)
     want = rs.lusol_vals(a, AxK, B, 1, 1e-6)
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_dist_qrsol_vals_both_branches():
+    nd = len(jax.devices())
+    mesh = par.make_mesh(data=nd)
+    rng = np.random.default_rng(9)
+    m, n = 2000, 1600
+    d = np.zeros((m, n))
+    for i in range(n):
+        d[i, i] = 5.0 + rng.random()
+    nz_extra = 9000
+    ii = rng.integers(0, m, nz_extra)
+    jj = rng.integers(0, n, nz_extra)
+    d[ii, jj] += rng.standard_normal(nz_extra)
+    a = rs.Sprs.new_from_vec([list(r) for r in d])
+    assert a.n >= rs.config.mf_min_n
+    K = nd + 1
+    nz = a.nnz()
+    AxK = np.tile(a.x[:nz], (K, 1)) * (1.0 + 0.3 * np.arange(K))[:, None]
+    B = rng.standard_normal((K, m))
+    s = rs.sqr(a, 2, True)
+    got = par.dist_qrsol_vals(a, AxK, B, mesh, 2, sym=s)
+    want = rs.qrsol_vals(a, AxK, B, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+    # minimum-norm branch (wide)
+    at = rs.transpose(a)
+    nzt = at.nnz()
+    AxtK = np.tile(at.x[:nzt], (K, 1)) * (1.0 + 0.3 * np.arange(K))[:, None]
+    Bt = rng.standard_normal((K, at.m))
+    got_t = par.dist_qrsol_vals(at, AxtK, Bt, mesh, 2)
+    want_t = rs.qrsol_vals(at, AxtK, Bt, 2)
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-10, atol=1e-10)
