@@ -580,7 +580,7 @@ def dist_lusol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 1,
                                      _prep_lu_solve_indices)
     from ..solve import (_lu_refine_body, _lu_vals_compose,
                          _lu_vals_factor_one, _lu_vals_loop,
-                         _lu_vals_pattern, _lu_vals_setup)
+                         _lu_vals_pattern, _lu_vals_setup, _writable)
 
     n = a.n
     s, plan, AxK, Bm = _lu_vals_setup(a, Ax, B, order, sym)
@@ -654,6 +654,7 @@ def dist_lusol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 1,
     ok &= np.asarray(rmaxK)[:K] <= 1e-10 * scale
     if not ok.all():
         bad_idx = np.nonzero(~ok)[0]
+        out = _writable(out)
         out[bad_idx] = _lu_vals_loop(a, s, AxK, Bm, order, tol, bad_idx)
     return out
 
@@ -669,7 +670,8 @@ def dist_qrsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
     from ..config import config
     from ..factor.frontal_qr import _prep_qr_indices
     from ..ops.plan import transpose_plan
-    from ..solve import _plan_dev, _qr_vals_one, _qr_vals_rtri, qrsol
+    from ..solve import (_plan_dev, _qr_vals_one, _qr_vals_rtri, _writable,
+                         qrsol)
 
     m, n = a.m, a.n
     nz = a.nnz()
@@ -740,7 +742,7 @@ def dist_qrsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
         out[:, (np.asarray(s.q, np.int64) if s.q is not None
                 else np.arange(n))] = Y  # ipvec(q) per instance
         return out
-    return Y  # _q_apply returns original row order
+    return _writable(Y)  # _q_apply returns original row order
 
 
 __all__ += ["dist_cholsol_vals", "dist_lusol_vals", "dist_qrsol_vals"]

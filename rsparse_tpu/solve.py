@@ -511,6 +511,19 @@ def _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_, offd_, cx64, b64,
     return dmin, X, jnp.max(jnp.abs(r)), jnp.max(jnp.abs(X))
 
 
+def _writable(a: np.ndarray) -> np.ndarray:
+    """`a` itself if it's a writable ndarray, else a copy.
+
+    `np.asarray` on a dtype-matching JAX array (and `jax.device_get`
+    output) returns the runtime's cached host buffer as a zero-copy
+    READ-ONLY view; mutating it raises "assignment destination is
+    read-only" (this exact hazard voided BENCH_r02 on real TPU). Every
+    batched-values driver funnels its device result through here before
+    any per-instance fallback writeback — lazily, so the common
+    all-accepted path stays zero-copy."""
+    return a if a.flags.writeable else a.copy()
+
+
 def _chol_vals_finish(a: Sprs, s, AxK, Bm, out, dmin_h, rmax_h, xmax_h,
                       order: int):
     """Accept/fallback pass shared by the batched-values SPD drivers.
@@ -527,6 +540,7 @@ def _chol_vals_finish(a: Sprs, s, AxK, Bm, out, dmin_h, rmax_h, xmax_h,
     redo = (~(dmin_h > 0.0)) | (rmax_h > 1e-10 * scale)
     if not redo.any():
         return out
+    out = _writable(out)
     bad = []
     for k in np.nonzero(redo)[0]:
         ak = Sprs(nz, n, n, a.p, a.i[:nz], AxK[k])
@@ -784,6 +798,7 @@ def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
     ok &= np.asarray(rmaxK) <= 1e-10 * scale
     if not ok.all():  # per-instance exact fallback (rare)
         bad_idx = np.nonzero(~ok)[0]
+        out = _writable(out)
         out[bad_idx] = _lu_vals_loop(a, s, AxK, Bm, order, tol, bad_idx)
     return out
 
@@ -920,7 +935,9 @@ def qrsol_vals(a: Sprs, Ax, B, order: int = 0, *,
         out[:, (np.asarray(s.q, np.int64) if s.q is not None
                 else np.arange(n))] = Y  # ipvec(q) per instance
         return out
-    return Y  # _q_apply returns original row order
+    # _q_apply returns original row order; _writable: never hand the
+    # caller a read-only view of the runtime's cached device buffer
+    return _writable(Y)
 
 
 def _serve_enabled():
@@ -1727,7 +1744,7 @@ def cholsol(a: Sprs, b, order: int = 0, *, sym: Optional[Symb] = None):
                     Xf, rmax, xmax = fused
                     scale = max(float(np.abs(bb).max()), xmax, 1.0)
                     if rmax <= 1e-10 * scale:
-                        out = Xf[:, 0]
+                        out = _writable(Xf[:, 0])
                         _writeback(b, out)
                         return out
             from .factor.frontal import solve_mf
@@ -1772,7 +1789,7 @@ def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6,
                 Xf, rmax, xmax = fused
                 scale = max(float(np.abs(bb).max()), xmax, 1.0)
                 if rmax <= 1e-10 * scale:
-                    out = Xf[:, 0]
+                    out = _writable(Xf[:, 0])
                     _writeback(b, out)
                     return out
             from .factor.frontal_lu import solve_lu_mf

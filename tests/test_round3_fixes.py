@@ -1,0 +1,167 @@
+"""Round-3 regression tests for the read-only-writeback bug class.
+
+VERDICT.md (round 2) Weak #1/#2: `np.asarray` on a dtype-matching JAX
+array (and `jax.device_get` output) is a zero-copy READ-ONLY view of the
+runtime's cached host buffer; the batched-values drivers then mutated it
+in their per-instance fallback tiers (`out[k] = ...`), crashing with
+"assignment destination is read-only" — on real TPU only, because the CPU
+tests never triggered the redo tier. These tests force the redo/fallback
+tiers with device-derived `out` arrays so the hazard stays covered on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import rsparse_tpu as rs
+from rsparse_tpu import solve as solve_mod
+
+
+def _laplacian(g):
+    from conftest import laplacian_sprs
+
+    return laplacian_sprs(g)
+
+
+def _chol_vals_fixture(g=50, K=4):
+    a = _laplacian(g)
+    nz = a.nnz()
+    diag = a.i[:nz] == np.repeat(np.arange(a.n), np.diff(a.p))
+    AxK = np.tile(a.x[:nz], (K, 1))
+    for k in range(K):
+        AxK[k][diag] *= 1.0 + 0.5 * k
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((K, a.n))
+    return a, AxK, B
+
+
+def test_asarray_of_jax_array_is_readonly_and_writable_copies():
+    """Pin the hazard itself: np.asarray of a dtype-matching JAX array is
+    read-only (if JAX ever changes this, the guard becomes a no-op and
+    this pin documents why it existed)."""
+    import jax.numpy as jnp
+
+    y = jnp.arange(4, dtype=jnp.float64)
+    v = np.asarray(y, np.float64)
+    if v.flags.writeable:
+        pytest.skip("jax now returns writable host views; hazard gone")
+    w = solve_mod._writable(v)
+    assert w.flags.writeable
+    w[0] = 42.0  # must not raise
+    # a writable array passes through untouched (no copy on the fast path)
+    z = np.zeros(3)
+    assert solve_mod._writable(z) is z
+
+
+def test_chol_vals_finish_readonly_out():
+    """The accept/fallback pass must handle a READ-ONLY `out` (what the
+    device path hands it) when every instance is forced into the redo
+    tier — the exact crash that voided BENCH_r02."""
+    a = rs.Sprs.new_from_file(
+        "/root/reference/tests/assets/cholsol_2.sprs")
+    n, nz = a.n, a.nnz()
+    K = 3
+    AxK = np.tile(a.x[:nz], (K, 1)) * (1.0 + np.arange(K))[:, None]
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((K, n))
+    s = rs.schol(a, 0)
+    out = np.zeros((K, n))  # wrong values on purpose; redo must fix all
+    out.flags.writeable = False
+    got = solve_mod._chol_vals_finish(
+        a, s, AxK, B, out,
+        np.ones(K), np.full(K, np.inf), np.ones(K), 0)
+    Ad = a.to_dense_np()
+    for k in range(K):
+        want = np.linalg.solve(Ad * (1.0 + k), B[k])
+        assert np.abs(got[k] - want).max() < 1e-8
+
+
+def test_cholsol_vals_forced_redo_through_device_out(monkeypatch):
+    """End-to-end: the MF vmapped tier produces the device-derived `out`;
+    the accept gate is forced to reject EVERY instance, so the redo loop
+    rewrites every row of it. Results must match the unforced run."""
+    a, AxK, B = _chol_vals_fixture()
+    assert a.n >= rs.config.mf_min_n, "fixture must exercise the MF tier"
+    s = rs.schol(a, 0)
+    want = rs.cholsol_vals(a, AxK, B, 0, sym=s)
+    orig = solve_mod._chol_vals_finish
+
+    calls = {"n": 0}
+
+    def force(a_, s_, AxK_, Bm_, out, dmin_h, rmax_h, xmax_h, order):
+        calls["n"] += 1
+        return orig(a_, s_, AxK_, Bm_, out, dmin_h,
+                    np.full_like(rmax_h, np.inf), xmax_h, order)
+
+    monkeypatch.setattr(solve_mod, "_chol_vals_finish", force)
+    got = rs.cholsol_vals(a, AxK, B, 0, sym=s)
+    assert calls["n"] == 1
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def test_lusol_vals_forced_fallback_through_device_out(monkeypatch):
+    """Same forcing for lusol_vals: `_lu_vals_compose`'s per-instance
+    accept flags are all flipped to False, driving the `out[bad_idx] = ...`
+    writeback on the device-derived array (VERDICT Weak #2)."""
+    a0 = _laplacian(50)
+    n, nz = a0.n, a0.nnz()
+    rng = np.random.default_rng(5)
+    ax = a0.x[:nz] + 0.3 * rng.standard_normal(nz)
+    a = rs.Sprs(nz, n, n, a0.p, a0.i[:nz], ax)
+    diag = a.i[:nz] == np.repeat(np.arange(n), np.diff(a.p))
+    K = 3
+    AxK = np.tile(ax, (K, 1))
+    for k in range(K):
+        AxK[k][diag] += 2.0 + 0.5 * k
+    B = rng.standard_normal((K, n))
+    s = rs.sqr(a, 1, False)
+    want = rs.lusol_vals(a, AxK, B, 1, 1e-6, sym=s)
+    orig = solve_mod._lu_vals_compose
+
+    def force(plan, stats_h, perm_h, n_, tol):
+        ok, pinK, inners = orig(plan, stats_h, perm_h, n_, tol)
+        return np.zeros_like(ok), pinK, inners
+
+    monkeypatch.setattr(solve_mod, "_lu_vals_compose", force)
+    got = rs.lusol_vals(a, AxK, B, 1, 1e-6, sym=s)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def test_dist_cholsol_vals_forced_redo(monkeypatch):
+    """The distributed vals driver funnels through the same finish pass;
+    force its redo tier over the mesh-sharded result too."""
+    import jax
+    from jax.sharding import Mesh
+
+    from rsparse_tpu import parallel as par
+
+    a, AxK, B = _chol_vals_fixture()
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    s = rs.schol(a, 0)
+    want = rs.cholsol_vals(a, AxK, B, 0, sym=s)
+    orig = solve_mod._chol_vals_finish
+
+    def force(a_, s_, AxK_, Bm_, out, dmin_h, rmax_h, xmax_h, order):
+        return orig(a_, s_, AxK_, Bm_, out, dmin_h,
+                    np.full_like(rmax_h, np.inf), xmax_h, order)
+
+    monkeypatch.setattr(solve_mod, "_chol_vals_finish", force)
+    got = par.dist_cholsol_vals(a, AxK, B, mesh, 0, sym=s)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def test_qrsol_vals_minimum_norm_returns_writable():
+    """The min-norm MF branch used to return the runtime's read-only
+    view of the device result straight to the caller."""
+    from test_solve_multi import _tall_fixture
+
+    a, _ = _tall_fixture(K=2, seed=9)
+    at = rs.ops.transpose(a)  # wide: m < n -> minimum-norm branch
+    assert at.m >= rs.config.mf_min_n, "must exercise the MF tier"
+    nz = at.nnz()
+    K = 2
+    AxK = np.tile(at.x[:nz], (K, 1))
+    rng = np.random.default_rng(11)
+    B = rng.standard_normal((K, at.m))
+    X = rs.qrsol_vals(at, AxK, B, 2)
+    assert X.flags.writeable
+    X[0, 0] = 0.0  # must not raise
