@@ -119,6 +119,22 @@ def bench_lusol(rs, native):
     return t_dev, t_host
 
 
+def _tunnel_floor():
+    """Round-trip latency floor of the (tunneled) runtime: wall of a nop
+    program dispatch + scalar readback. Any single-launch device solve is
+    bounded below by this — on this tunnel it measures ~25 ms, which
+    EXCEEDS the host engine's entire cholsol_7 wall (~19 ms). Reported so
+    the device wall decomposes into floor + compute; on a directly-attached
+    TPU the floor is ~0.1 ms and compute is what remains."""
+    import jax
+    import jax.numpy as jnp
+
+    nop = jax.jit(lambda x: x + 1.0)
+    jax.device_get(nop(jnp.float32(1.0)))
+    return min(_t(lambda: jax.device_get(nop(jnp.float32(1.0))))
+               for _ in range(5))
+
+
 def bench_cholsol(rs, native):
     from rsparse_tpu import ops
     from rsparse_tpu.symbolic import schol
@@ -754,8 +770,15 @@ def main():
 
     def sec_cholsol():
         ch_dev, ch_host = bench_cholsol(rs, native)
+        floor = _tunnel_floor()
         extra["cholsol_wall_s"] = round(ch_dev, 4)
         extra["cholsol_vs_cpp"] = round(ch_host / ch_dev, 3)
+        extra["tunnel_roundtrip_s"] = round(floor, 4)
+        # device compute with the tunnel RPC floor subtracted — the wall a
+        # directly-attached TPU would see (+~0.1 ms launch)
+        extra["cholsol_dev_compute_s"] = round(max(ch_dev - floor, 0.0), 4)
+        extra["cholsol_compute_vs_cpp"] = round(
+            ch_host / max(ch_dev - floor, 1e-9), 3)
         headline["cholsol_wall_s"] = (round(ch_dev, 4),
                                       round(ch_host / ch_dev, 3))
 

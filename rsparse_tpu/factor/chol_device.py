@@ -71,14 +71,27 @@ class DenseTail:
     d: int
     # L_NN level schedule (positions remapped into the FULL Lx array)
     tri: Tuple  # (ent_pos, ent_row, ent_col, ent_slot, ent_off, col_id, col_diag, col_off, nlev, emax, wmax)
-    rhs_pos: np.ndarray  # [cut, D] C positions of C(N, T), -1 absent
-    att_pos: np.ndarray  # [D, D] C positions of triu C(T, T), -1 absent
+    # C(N, T) and triu C(T, T) feed in by SCATTERING the actual entries
+    # (TPU gathers are element-at-a-time; a dense [D, D] position gather
+    # costs ~10 ms where the O(nnz) scatter is ~0.1 ms)
+    rhs_src: np.ndarray  # [nnzNT] C value positions of C(N, T) entries
+    rhs_r: np.ndarray  # [nnzNT] row (< cut)
+    rhs_c: np.ndarray  # [nnzNT] col - cut
+    att_src: np.ndarray  # [nnzTT] C value positions of triu C(T, T)
+    att_r: np.ndarray  # [nnzTT] row - cut
+    att_c: np.ndarray  # [nnzTT] col - cut
     l21_pos: np.ndarray  # [nnz21] scatter into Lx
     l21_j: np.ndarray  # [nnz21] W row (column index j < cut)
     l21_t: np.ndarray  # [nnz21] W col (t - cut)
     ltt_pos: np.ndarray  # [nnzTT] scatter into Lx
     ltt_r: np.ndarray
     ltt_c: np.ndarray
+    # dense L_NN gather (cut <= DENSE_NN_MAX): materialize the leading
+    # factor as a dense [cut, cut] block so W and every solve use one MXU
+    # triangular op instead of a (deep, narrow) level sweep
+    nn_pos: np.ndarray = None  # [nnzNN] positions into Lx
+    nn_r: np.ndarray = None
+    nn_c: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -101,12 +114,22 @@ def _lookup(keys_sorted: np.ndarray, order: np.ndarray, qkeys: np.ndarray) -> np
     return out.astype(np.int64)
 
 
+# Largest leading block L_NN that gets materialized densely (one MXU
+# triangular op per use instead of a deep level sweep). Also the bound
+# below which the WHOLE factor goes dense-tail (cut = 0): sequential
+# level stages cost ~0.1-1 ms each on TPU while a 2048^2 dense cholesky
+# is ~3 ms of MXU work total.
+DENSE_NN_MAX = 2048
+
+
 def _choose_cut(level: np.ndarray, n: int, target_levels: int = 48,
                 dense_tail_max: int = 2048) -> int:
     """Largest cut with max(level[:cut]) < target_levels, tail capped."""
     nlev = int(level.max()) + 1 if n else 0
     if nlev <= 2 * target_levels or n <= 512:
         return n
+    if n <= dense_tail_max:
+        return 0  # deep level structure, small system: all-dense tail
     pmax = np.maximum.accumulate(level)
     ok = np.nonzero(pmax < target_levels)[0]
     cut = int(ok[-1]) + 1 if len(ok) else 0
@@ -228,21 +251,34 @@ def _build_tail(c: Sprs, Lp, Li, lnz, n, cut, ckeys_s, corder) -> DenseTail:
     sub_pos = np.nonzero(mask_nn)[0]
     nn_cols = lcols[sub_pos]
     nn_rows = rows[sub_pos]
-    nn_p = np.zeros(cut + 1, dtype=np.int64)
-    np.cumsum(np.bincount(nn_cols, minlength=cut), out=nn_p[1:])
-    lnn = _Sprs(len(sub_pos), cut, cut, nn_p, nn_rows, np.zeros(len(sub_pos)))
-    tp = tri_plan(lnn, 0)
-    ent_pos = sub_pos[tp.ent_pos].astype(np.int32) if len(tp.ent_pos) else tp.ent_pos
-    col_diag = sub_pos[tp.col_diag].astype(np.int32)
-    tri = (ent_pos, tp.ent_row, tp.ent_col, tp.ent_slot, tp.ent_off,
-           tp.col_id, col_diag, tp.col_off, tp.nlev, tp.emax, tp.wmax)
-    # C gathers: rhs C(N, T) and triu C(T, T)
-    i_grid = np.arange(cut, dtype=np.int64)[:, None]
-    t_grid = (cut + np.arange(D, dtype=np.int64))[None, :]
-    rhs_pos = _lookup(ckeys_s, corder, t_grid * np.int64(n) + i_grid)
-    a_grid = (cut + np.arange(D, dtype=np.int64))[:, None]
-    att_q = t_grid * np.int64(n) + a_grid  # (row=cut+a, col=cut+t)
-    att_pos = np.where(a_grid <= t_grid, _lookup(ckeys_s, corder, att_q), -1)
+    dense_nn = cut <= DENSE_NN_MAX
+    if dense_nn:
+        # dense L_NN: no level sweep needed — placeholder empty schedule
+        z = np.zeros(0, np.int32)
+        tri = (z, z, z, z, z, z, z, z, 0, 1, 1)
+    else:
+        nn_p = np.zeros(cut + 1, dtype=np.int64)
+        np.cumsum(np.bincount(nn_cols, minlength=cut), out=nn_p[1:])
+        lnn = _Sprs(len(sub_pos), cut, cut, nn_p, nn_rows,
+                    np.zeros(len(sub_pos)))
+        tp = tri_plan(lnn, 0)
+        ent_pos = (sub_pos[tp.ent_pos].astype(np.int32)
+                   if len(tp.ent_pos) else tp.ent_pos)
+        col_diag = sub_pos[tp.col_diag].astype(np.int32)
+        tri = (ent_pos, tp.ent_row, tp.ent_col, tp.ent_slot, tp.ent_off,
+               tp.col_id, col_diag, tp.col_off, tp.nlev, tp.emax, tp.wmax)
+    # C feeds: rhs = C(N, T), Att = triu C(T, T) — straight from the stored
+    # pattern. Only UPPER entries (row <= col) participate: with a natural
+    # ordering c is A as stored and may carry strictly-lower entries, which
+    # chol ignores (reference semantics, src/lib.rs:278-337).
+    cnz = c.nnz()
+    crows = c.i[:cnz]
+    ccols = col_ids(c.p, n)
+    upper = crows <= ccols
+    m_nt = upper & (ccols >= cut) & (crows < cut)
+    rhs_src = np.nonzero(m_nt)[0]
+    m_tt = upper & (crows >= cut)  # upper => ccols >= cut too
+    att_src = np.nonzero(m_tt)[0]
     # scatter maps
     mask21 = (lcols < cut) & (rows >= cut)
     p21 = np.nonzero(mask21)[0]
@@ -252,43 +288,72 @@ def _build_tail(c: Sprs, Lp, Li, lnz, n, cut, ckeys_s, corder) -> DenseTail:
         cut=cut,
         d=D,
         tri=tri,
-        rhs_pos=rhs_pos.astype(np.int32),
-        att_pos=att_pos.astype(np.int32),
+        rhs_src=rhs_src.astype(np.int32),
+        rhs_r=crows[rhs_src].astype(np.int32),
+        rhs_c=(ccols[rhs_src] - cut).astype(np.int32),
+        att_src=att_src.astype(np.int32),
+        att_r=(crows[att_src] - cut).astype(np.int32),
+        att_c=(ccols[att_src] - cut).astype(np.int32),
         l21_pos=p21.astype(np.int32),
         l21_j=lcols[p21].astype(np.int32),
         l21_t=(rows[p21] - cut).astype(np.int32),
         ltt_pos=pTT.astype(np.int32),
         ltt_r=(rows[pTT] - cut).astype(np.int32),
         ltt_c=(lcols[pTT] - cut).astype(np.int32),
+        nn_pos=(sub_pos.astype(np.int32) if dense_nn
+                else np.zeros(0, np.int32)),
+        nn_r=(nn_rows.astype(np.int32) if dense_nn
+              else np.zeros(0, np.int32)),
+        nn_c=(nn_cols.astype(np.int32) if dense_nn
+              else np.zeros(0, np.int32)),
     )
 
 
 @partial(jax.jit, donate_argnums=(0,),
-         static_argnames=("nlev", "emax", "wmax", "cut"))
-def _chol_tail_kernel(Lx, Cx, rhs_pos, att_pos, l21_pos, l21_j, l21_t,
+         static_argnames=("nlev", "emax", "wmax", "cut", "d", "dense_nn"))
+def _chol_tail_kernel(Lx, Cx, rhs_src, rhs_r, rhs_c,
+                      att_src, att_r, att_c, l21_pos, l21_j, l21_t,
                       ltt_pos, ltt_r, ltt_c,
                       ent_pos, ent_row, ent_col, ent_slot, ent_off,
-                      col_id, col_diag, col_off,
-                      nlev: int, emax: int, wmax: int, cut: int):
+                      col_id, col_diag, col_off, nn_pos, nn_r, nn_c,
+                      nlev: int, emax: int, wmax: int, cut: int, d: int,
+                      dense_nn: bool = False):
+    """Returns (Lx, dmin, W, Ls_inv, Lnn_inv). Solves against the tail use
+    the PRECOMPUTED triangular inverses (one MXU matmul per application,
+    zero sequential depth) instead of substitution sweeps — the f32
+    accuracy loss is covered by the drivers' f64 iterative refinement.
+    Lnn_inv is None when the leading block is too large to densify
+    (cut > DENSE_NN_MAX); solves then keep the level sweeps for L_NN."""
     from ..solve import _tri_sweep_multi
 
     ft = Lx.dtype
-    rhs = jnp.where(rhs_pos >= 0,
-                    Cx[jnp.clip(rhs_pos, 0, Cx.shape[0] - 1)],
-                    jnp.zeros((), ft))
-    W = _tri_sweep_multi(Lx, rhs, ent_pos, ent_row, ent_col, ent_slot,
-                         ent_off, col_id, col_diag, col_off,
-                         nlev, emax, wmax, cut, True)
-    Att = jnp.where(att_pos >= 0,
-                    Cx[jnp.clip(att_pos, 0, Cx.shape[0] - 1)],
-                    jnp.zeros((), ft))
+    rhs = jnp.zeros((cut, d), ft).at[rhs_r, rhs_c].set(
+        Cx[rhs_src], mode="drop")
+    Lnn_inv = None
+    if dense_nn and cut > 0:
+        Lnn = jnp.zeros((cut, cut), ft).at[nn_r, nn_c].set(
+            Lx[jnp.clip(nn_pos, 0, Lx.shape[0] - 1)], mode="drop")
+        Lnn_inv = jax.lax.linalg.triangular_solve(
+            Lnn, jnp.eye(cut, dtype=ft), left_side=True, lower=True)
+        W = Lnn_inv @ rhs
+    elif cut > 0:
+        W = _tri_sweep_multi(Lx, rhs, ent_pos, ent_row, ent_col, ent_slot,
+                             ent_off, col_id, col_diag, col_off,
+                             nlev, emax, wmax, cut, True)
+    else:
+        W = rhs  # [0, D]
+        Lnn_inv = jnp.zeros((0, 0), ft)
+    Att = jnp.zeros((d, d), ft).at[att_r, att_c].set(
+        Cx[att_src], mode="drop")
     Asym = Att + Att.T - jnp.diag(jnp.diagonal(Att))
     S = Asym - W.T @ W
     Ls = jnp.linalg.cholesky(S)
     dmin = jnp.min(jnp.diagonal(Ls))  # NaN if not SPD
+    Ls_inv = jax.lax.linalg.triangular_solve(
+        Ls, jnp.eye(Ls.shape[0], dtype=ft), left_side=True, lower=True)
     Lx = Lx.at[l21_pos].set(W[l21_j, l21_t], mode="drop")
     Lx = Lx.at[ltt_pos].set(Ls[ltt_r, ltt_c], mode="drop")
-    return Lx, dmin, W, Ls
+    return Lx, dmin, W, Ls_inv, Lnn_inv
 
 
 def _prep_tail_dev(tail: DenseTail):
@@ -298,10 +363,13 @@ def _prep_tail_dev(tail: DenseTail):
     dev = tail.__dict__.get("_dev")
     if dev is None:
         j = jnp.asarray
-        dev = (j(tail.rhs_pos), j(tail.att_pos), j(tail.l21_pos),
+        dev = (j(tail.rhs_src), j(tail.rhs_r), j(tail.rhs_c),
+               j(tail.att_src), j(tail.att_r), j(tail.att_c),
+               j(tail.l21_pos),
                j(tail.l21_j), j(tail.l21_t), j(tail.ltt_pos), j(tail.ltt_r),
                j(tail.ltt_c), j(ent_pos), j(ent_row), j(ent_col),
-               j(ent_slot), j(ent_off), j(col_id), j(col_diag), j(col_off))
+               j(ent_slot), j(ent_off), j(col_id), j(col_diag), j(col_off),
+               j(tail.nn_pos), j(tail.nn_r), j(tail.nn_c))
         tail.__dict__["_dev"] = dev
     return dev
 
@@ -315,9 +383,10 @@ def _chol_tail_run(Lx, Cx, tail: DenseTail):
     the jit boundary instead (frontal._chol_mf_values)."""
     (*_, nlev, emax, wmax) = tail.tri
     dev = _prep_tail_dev(tail)
-    Lx, dmin, W, Ls = _chol_tail_kernel(
-        Lx, Cx, *dev, nlev=nlev, emax=emax, wmax=wmax, cut=tail.cut)
-    tail.__dict__["_vals"] = (W, Ls)
+    Lx, dmin, W, Ls_inv, Lnn_inv = _chol_tail_kernel(
+        Lx, Cx, *dev, nlev=nlev, emax=emax, wmax=wmax, cut=tail.cut,
+        d=tail.d, dense_nn=tail.cut <= DENSE_NN_MAX)
+    tail.__dict__["_vals"] = (W, Ls_inv, Lnn_inv)
     return Lx, dmin
 
 

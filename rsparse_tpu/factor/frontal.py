@@ -62,12 +62,27 @@ def _lookup(keys_sorted, order, qkeys):
 
 @dataclasses.dataclass
 class FrontBucket:
-    """Batched fronts sharing one padded shape (Sp, Bp)."""
+    """Batched fronts sharing one padded shape (Sp, Bp).
+
+    Front matrices materialize by SCATTERING the (few) actual C entries
+    into zeros — never by gathering every padded slot through a dense
+    [F, Sp, Sp] position tensor: TPU gathers are element-at-a-time, so an
+    O(F·Sp²) gather costs ~10 ms where the O(nnz) scatter costs ~0.1 ms."""
 
     sp: int
     bp: int
-    ass_pos: np.ndarray  # [F, Sp, Sp] triu C positions (-1 absent)
-    abs_pos: np.ndarray  # [F, Bp, Sp] C positions of C(S, B) (-1 absent)
+    ass_src: np.ndarray  # [nass] C value positions of triu front entries
+    ass_f: np.ndarray  # [nass] front index
+    ass_r: np.ndarray  # [nass] row within S-block
+    ass_c: np.ndarray  # [nass] col within S-block
+    pad_f: np.ndarray  # unit-pivot slots (missing diag or padding)
+    pad_r: np.ndarray
+    dg_f: np.ndarray  # real diagonal slots (dmin reduction)
+    dg_r: np.ndarray
+    abs_src: np.ndarray  # [nabs] C value positions of C(S, B) entries
+    abs_f: np.ndarray
+    abs_r: np.ndarray  # row within B-block
+    abs_c: np.ndarray  # col within S-block
     lss_pos: np.ndarray  # [nssz] scatter into Lx
     lss_r: np.ndarray  # [nssz] row within front S-block
     lss_c: np.ndarray  # [nssz] col within front S-block
@@ -215,8 +230,6 @@ def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT,
     buckets = []
     for (sp, bp), fis in sorted(buckets_map.items()):
         F = len(fis)
-        ass_pos = np.full((F, sp, sp), -1, dtype=np.int64)
-        abs_pos = np.full((F, bp, sp), -1, dtype=np.int64)
         srow = np.full((F, sp), n, dtype=np.int64)
         brow = np.full((F, bp), ns, dtype=np.int64)
         for t, fi in enumerate(fis):
@@ -226,6 +239,10 @@ def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT,
         lss = ([], [], [], [])  # pos, r, c, f
         lbs = ([], [], [], [])
         s_src, s_dst = [], []
+        assl = ([], [], [], [])  # src, f, r, c
+        padl = ([], [])  # f, r
+        dgl = ([], [])  # f, r
+        absl = ([], [], [], [])
         for t, fi in enumerate(fis):
             S, B = fronts[fi]
             a = int(S[0])
@@ -234,12 +251,28 @@ def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT,
             s1 = S[:, None]
             s2 = S[None, :]
             q = np.where(s1 <= s2, s2 * np.int64(n) + s1, -1)
-            found = _lookup(ckeys_s, corder, np.where(q >= 0, q, 0))
-            ass_pos[t, :ls, :ls] = np.where(q >= 0, found, -1)
+            found = np.where(q >= 0, _lookup(ckeys_s, corder,
+                                             np.where(q >= 0, q, 0)), -1)
+            rr, cc = np.nonzero(found >= 0)
+            assl[0].extend(found[rr, cc].tolist())
+            assl[1].extend([t] * len(rr))
+            assl[2].extend(rr.tolist())
+            assl[3].extend(cc.tolist())
+            dpresent = np.diagonal(found) >= 0
+            real = np.nonzero(dpresent)[0]
+            dgl[0].extend([t] * len(real))
+            dgl[1].extend(real.tolist())
+            miss = np.nonzero(~dpresent)[0].tolist() + list(range(ls, sp))
+            padl[0].extend([t] * len(miss))
+            padl[1].extend(miss)
             # Abs: C(S_row, B_col)? A(B,S) stored in triu at (row=S, col=B)
-            qb = B[None, :, None] * 0  # dummy shape helper
             qq = (B[:, None] * np.int64(n)) + S[None, :]  # col=B, row=S
-            abs_pos[t, :lb, :ls] = _lookup(ckeys_s, corder, qq)
+            fb = _lookup(ckeys_s, corder, qq)
+            br_, bc_ = np.nonzero(fb >= 0)
+            absl[0].extend(fb[br_, bc_].tolist())
+            absl[1].extend([t] * len(br_))
+            absl[2].extend(br_.tolist())
+            absl[3].extend(bc_.tolist())
             # L(S,S) scatter: pattern entries of columns S with row <= r
             for j in S:
                 for p_ in range(int(Lp[j]), int(Lp[j + 1])):
@@ -265,7 +298,18 @@ def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT,
                 s_dst.extend(dsts.tolist())
         buckets.append(FrontBucket(
             sp=sp, bp=bp,
-            ass_pos=ass_pos, abs_pos=abs_pos,
+            ass_src=np.asarray(assl[0], np.int64),
+            ass_f=np.asarray(assl[1], np.int64),
+            ass_r=np.asarray(assl[2], np.int64),
+            ass_c=np.asarray(assl[3], np.int64),
+            pad_f=np.asarray(padl[0], np.int64),
+            pad_r=np.asarray(padl[1], np.int64),
+            dg_f=np.asarray(dgl[0], np.int64),
+            dg_r=np.asarray(dgl[1], np.int64),
+            abs_src=np.asarray(absl[0], np.int64),
+            abs_f=np.asarray(absl[1], np.int64),
+            abs_r=np.asarray(absl[2], np.int64),
+            abs_c=np.asarray(absl[3], np.int64),
             lss_pos=np.asarray(lss[0], np.int64), lss_r=np.asarray(lss[1], np.int64),
             lss_c=np.asarray(lss[2], np.int64), lss_f=np.asarray(lss[3], np.int64),
             lbs_pos=np.asarray(lbs[0], np.int64), lbs_r=np.asarray(lbs[1], np.int64),
@@ -304,29 +348,28 @@ def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT,
     )
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _front_kernel(Lx, Csx, Cx, ass_pos, abs_pos,
+@partial(jax.jit, donate_argnums=(0, 1),
+         static_argnames=("F", "sp", "bp"))
+def _front_kernel(Lx, Csx, Cx, ass_src, ass_f, ass_r, ass_c,
+                  pad_f, pad_r, dg_f, dg_r,
+                  abs_src, abs_f, abs_r, abs_c,
                   lss_pos, lss_r, lss_c, lss_f,
                   lbs_pos, lbs_r, lbs_c, lbs_f,
-                  schur_src, schur_dst):
+                  schur_src, schur_dst, F: int, sp: int, bp: int):
     ft = Lx.dtype
-
-    def g(idx):
-        return jnp.where(idx >= 0, Cx[jnp.clip(idx, 0, Cx.shape[0] - 1)],
-                         jnp.zeros((), ft))
-
-    Ass = g(ass_pos)
+    # SCATTER the actual C entries into zeroed fronts (see FrontBucket:
+    # O(nnz) scatter, not O(F·Sp²) element-at-a-time gather)
+    Ass = jnp.zeros((F, sp, sp), ft).at[ass_f, ass_r, ass_c].set(
+        Cx[ass_src], mode="drop")
     Ass = Ass + jnp.swapaxes(Ass, 1, 2) - jax.vmap(jnp.diag)(
         jnp.diagonal(Ass, axis1=1, axis2=2))
-    sp = Ass.shape[-1]
-    # padded S slots: make them identity pivots
-    has_diag = jnp.diagonal(ass_pos, axis1=1, axis2=2) >= 0
-    Ass = Ass + jax.vmap(jnp.diag)(jnp.where(has_diag, 0.0, 1.0).astype(ft))
+    # padded/missing-diag S slots: make them identity pivots
+    Ass = Ass.at[pad_f, pad_r, pad_r].add(jnp.ones((), ft), mode="drop")
     Lss = jnp.linalg.cholesky(Ass)
-    dmin = jnp.min(jnp.where(has_diag,
-                             jnp.diagonal(Lss, axis1=1, axis2=2),
-                             jnp.ones((), ft)))
-    Abs = g(abs_pos)
+    dmin = (jnp.min(Lss[dg_f, dg_r, dg_r]) if dg_f.shape[0]
+            else jnp.ones((), ft))
+    Abs = jnp.zeros((F, bp, sp), ft).at[abs_f, abs_r, abs_c].set(
+        Cx[abs_src], mode="drop")
     # L_BS = A_BS Lss^{-T}
     Lbs = jax.lax.linalg.triangular_solve(
         Lss, Abs, left_side=False, lower=True, transpose_a=True)
@@ -334,7 +377,13 @@ def _front_kernel(Lx, Csx, Cx, ass_pos, abs_pos,
     Lx = Lx.at[lss_pos].set(Lss[lss_f, lss_r, lss_c], mode="drop")
     Lx = Lx.at[lbs_pos].set(Lbs[lbs_f, lbs_r, lbs_c], mode="drop")
     Csx = Csx.at[schur_dst].add(-Schur.reshape(-1)[schur_src], mode="drop")
-    return Lx, Csx, dmin, Lss, Lbs
+    # precompute Lss^{-1}: every solve application becomes one batched
+    # einsum (MXU) instead of a sequential triangular substitution — the
+    # f32 rounding difference is covered by the drivers' f64 refinement
+    Lss_inv = jax.lax.linalg.triangular_solve(
+        Lss, jnp.broadcast_to(jnp.eye(sp, dtype=ft), Lss.shape),
+        left_side=True, lower=True)
+    return Lx, Csx, dmin, Lss_inv, Lbs
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -353,7 +402,10 @@ def _prep_factor_indices(plan: MFPlan):
     for b in plan.buckets:
         if b.__dict__.get("_dev") is None:
             b.__dict__["_dev"] = tuple(j(t) for t in (
-                b.ass_pos, b.abs_pos, b.lss_pos, b.lss_r, b.lss_c, b.lss_f,
+                b.ass_src, b.ass_f, b.ass_r, b.ass_c,
+                b.pad_f, b.pad_r, b.dg_f, b.dg_r,
+                b.abs_src, b.abs_f, b.abs_r, b.abs_c,
+                b.lss_pos, b.lss_r, b.lss_c, b.lss_f,
                 b.lbs_pos, b.lbs_r, b.lbs_c, b.lbs_f, b.schur_src, b.schur_dst))
     if plan.__dict__.get("_asm_dev") is None:
         plan.__dict__["_asm_dev"] = (j(plan.skel_a_src), j(plan.skel_a_dst))
@@ -408,10 +460,11 @@ def _chol_mf_values(Cx, plan: MFPlan, dev):
     Csx = _skel_assemble(Csx, Cx, a_src, a_dst)
     dmins = []
     front_vals = []
-    for bdev in dev["buckets"]:
-        Lx, Csx, dmin, Lss, Lbs = _front_kernel(Lx, Csx, Cx, *bdev)
+    for b, bdev in zip(plan.buckets, dev["buckets"]):
+        Lx, Csx, dmin, Lss_inv, Lbs = _front_kernel(
+            Lx, Csx, Cx, *bdev, F=b.srow.shape[0], sp=b.sp, bp=b.bp)
         dmins.append(dmin)
-        front_vals.append((Lss, Lbs))
+        front_vals.append((Lss_inv, Lbs))
 
     # skeleton factorization on the assembled values
     sp = plan.skel_plan
@@ -428,11 +481,14 @@ def _chol_mf_values(Cx, plan: MFPlan, dev):
                                    (Csx[: plan.skel_cnnz],),
                                    dev["skel"]["groups"])
         if sp.tail is not None:
+            from .chol_device import DENSE_NN_MAX
+
             (*_, nlev, emax, wmax) = sp.tail.tri
-            Lxs, dt, W, Ls = _chol_tail_kernel(
+            Lxs, dt, W, Ls_inv, Lnn_inv = _chol_tail_kernel(
                 Lxs, Csx[: plan.skel_cnnz], *dev["skel"]["tail"],
-                nlev=nlev, emax=emax, wmax=wmax, cut=sp.tail.cut)
-            tail_vals = (W, Ls)
+                nlev=nlev, emax=emax, wmax=wmax, cut=sp.tail.cut,
+                d=sp.tail.d, dense_nn=sp.tail.cut <= DENSE_NN_MAX)
+            tail_vals = (W, Ls_inv, Lnn_inv)
             dgroups = list(dgroups) + [dt]
         dmins += [jnp.min(jnp.atleast_1d(gq)) for gq in dgroups]
     l_src, l_dst = dev["map"]
@@ -451,7 +507,7 @@ FUSE_ENTRY_CAP = 8_000_000
 
 
 def _plan_index_entries(plan: MFPlan) -> int:
-    total = sum(b.ass_pos.size + b.abs_pos.size + b.lss_pos.size
+    total = sum(b.ass_src.size + b.abs_src.size + b.lss_pos.size
                 + b.lbs_pos.size + b.schur_src.size for b in plan.buckets)
     total += plan.skel_a_src.size + plan.skel_l_src.size
     sp = plan.skel_plan
@@ -521,24 +577,24 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan, mixed: bool = False):
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("ns",))
-def _fwd_front(X, Ds, Lss, Lbs, srow, brow, ns: int):
-    """Forward front phase: z_S = Lss^{-1} b_S; accumulate Lbs z into the
-    skeleton delta Ds. X: [n+1, B] (garbage row n); Ds: [ns+1, B]."""
+def _fwd_front(X, Ds, Lss_inv, Lbs, srow, brow, ns: int):
+    """Forward front phase: z_S = Lss^{-1} b_S (precomputed inverse — one
+    batched MXU einsum, no sequential substitution); accumulate Lbs z into
+    the skeleton delta Ds. X: [n+1, B] (garbage row n); Ds: [ns+1, B]."""
     xs = X[srow]  # [F, Sp, B]
-    zs = jax.lax.linalg.triangular_solve(Lss, xs, left_side=True, lower=True)
+    zs = jnp.einsum("fsr,frk->fsk", Lss_inv, xs)
     X = X.at[srow].set(zs)  # padded slots write row n (garbage)
     Ds = Ds.at[brow].add(jnp.einsum("fbs,fsk->fbk", Lbs, zs))
     return X, Ds
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _bwd_front(X, Lss, Lbs, srow, browg):
+def _bwd_front(X, Lss_inv, Lbs, srow, browg):
     """Backward front phase: x_S = Lss^{-T} (b_S - Lbsᵀ x_B). `browg` holds
     GLOBAL row indices of B slots (n = pad)."""
     xb = X[browg]  # [F, Bp, B]
     bs = X[srow] - jnp.einsum("fbs,fbk->fsk", Lbs, xb)
-    xs = jax.lax.linalg.triangular_solve(
-        Lss, bs, left_side=True, lower=True, transpose_a=True)
+    xs = jnp.einsum("fsr,fsk->frk", Lss_inv, bs)  # (Lss_inv)^T @ bs
     return X.at[srow].set(xs)
 
 
@@ -592,6 +648,11 @@ def _prep_solve_indices(plan: MFPlan):
     if isinstance(plan.skel_plan, MFPlan):
         _prep_solve_indices(plan.skel_plan)
     else:
+        from .chol_device import DENSE_NN_MAX
+
+        tail = plan.skel_plan.tail
+        if tail is not None and tail.cut <= DENSE_NN_MAX:
+            return  # dense L_NN: solves use cached inverses, no sweep plans
         p0, p2, _ = _skel_tri_plans(plan)
         _plan_dev(p0)
         _plan_dev(p2)
@@ -647,24 +708,30 @@ def _solve_mf_dev(plan: MFPlan, X, cache):
                                                 reversed(devs)):
             Xd = _bwd_front(Xd, Lss, Lbs, srow, browg)
         return Xd[:n]
-    p0, p2, cut = _skel_tri_plans(plan)
     tv = tail_vals
     if tv is not None:
-        # tail-aware split: sweep only L_NN; the dense trailing block solves
-        # with the cached (W = L_TN', Ls = L_TT) factors — the deep level
-        # chain at the top of the tree never enters a sweep
-        W, Ls = tv
-        y_n = _tri_sweep_multi(Lxs, bs[:cut], *_plan_dev(p0),
-                               p0.nlev, p0.emax, p0.wmax, cut, True)
-        y_t = jax.lax.linalg.triangular_solve(
-            Ls, bs[cut:] - W.T @ y_n, left_side=True, lower=True)
-        # backward: y_T first, then the L_NN' sweep
-        z_t = jax.lax.linalg.triangular_solve(
-            Ls, y_t, left_side=True, lower=True, transpose_a=True)
-        z_n = _tri_sweep_multi(Lxs, y_n - W @ z_t, *_plan_dev(p2),
-                               p2.nlev, p2.emax, p2.wmax, cut, False)
+        # tail-aware split: the dense trailing block (and, when cached, the
+        # dense leading block) solves with PRECOMPUTED triangular inverses —
+        # pure MXU matmuls, zero sequential depth. Sweeps remain only for an
+        # L_NN too large to densify (Lnn_inv is None).
+        W, Ls_inv, Lnn_inv = tv
+        cut = plan.skel_plan.tail.cut
+        if Lnn_inv is not None:
+            y_n = Lnn_inv @ bs[:cut]
+            y_t = Ls_inv @ (bs[cut:] - W.T @ y_n)
+            z_t = Ls_inv.T @ y_t
+            z_n = Lnn_inv.T @ (y_n - W @ z_t)
+        else:
+            p0, p2, _ = _skel_tri_plans(plan)
+            y_n = _tri_sweep_multi(Lxs, bs[:cut], *_plan_dev(p0),
+                                   p0.nlev, p0.emax, p0.wmax, cut, True)
+            y_t = Ls_inv @ (bs[cut:] - W.T @ y_n)
+            z_t = Ls_inv.T @ y_t
+            z_n = _tri_sweep_multi(Lxs, y_n - W @ z_t, *_plan_dev(p2),
+                                   p2.nlev, p2.emax, p2.wmax, cut, False)
         ys = jnp.concatenate([z_n, z_t])
     else:
+        p0, p2, cut = _skel_tri_plans(plan)
         ys = _tri_sweep_multi(Lxs[: plan.skel_plan.lnz], bs, *_plan_dev(p0),
                               p0.nlev, p0.emax, p0.wmax, p0.n, True)
         # backward: skeleton then fronts

@@ -60,6 +60,18 @@ class QRPlan:
     plan_entries: int
 
 
+# Design boundary (measured, see docs/DESIGN.md "QR export boundary"):
+# the reference-exact V/R/beta export is a column-sequential reflector
+# recurrence whose support sets grow with fill. On qrsol_3 (8000², the
+# largest reference QR asset) the plan measures est = 7.4e9 element-ops
+# across 2420 dependency levels with 2.0e9 V-entry gathers; at the
+# measured ~150 ns/element TPU gather/scatter cost that is minutes of
+# device time (vs ~1 s for the host engine), and the per-level batch is
+# K=1 for most of the top half (pure launch overhead). Above the cap the
+# EXPORT runs on the host engine; solves at that scale never touch this
+# path — they run the multifrontal device tree (factor/frontal_qr), whose
+# fronts batch onto the MXU but provably cannot reproduce the reference's
+# V pattern (front CB rows are linear combinations of original rows).
 PLAN_ENTRY_CAP = 300_000_000
 
 

@@ -659,7 +659,7 @@ def dist_lusol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 1,
     return out
 
 
-def dist_qrsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
+def dist_qrsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 2, *,
                     sym=None, axis: str = "data"):
     """Distributed batched-VALUES QR solve: K same-pattern rectangular
     systems (least-squares m>=n, minimum-norm m<n) with instances sharded

@@ -488,7 +488,7 @@ def dist_tri_solve_halo(t: Sprs, x, kind: int, mesh: Mesh,
     return _fetch(out).reshape(-1)[: t.n]
 
 
-def dist_qrsol(a: Sprs, b, mesh: Mesh, order: int = 0, axis: str = "model",
+def dist_qrsol(a: Sprs, b, mesh: Mesh, order: int = 2, axis: str = "model",
                refine: int = 2):
     """Distributed least-squares / minimum-norm solve via corrected
     seminormal equations: R from the Cholesky of AᵀA (or AAᵀ), both

@@ -842,7 +842,7 @@ def _qr_vals_rtri(plan, ls):
     return tp_
 
 
-def qrsol_vals(a: Sprs, Ax, B, order: int = 0, *,
+def qrsol_vals(a: Sprs, Ax, B, order: int = 2, *,
                sym: Optional[Symb] = None):
     """Batched-VALUES QR solve: K systems sharing `a`'s sparsity pattern,
     least-squares (m >= n) or minimum-norm (m < n, via QR of A' — reference
@@ -1181,7 +1181,7 @@ def lusol_serve(a: Sprs, order: int = 1, tol: float = 1e-6, *,
     return h
 
 
-def qrsol_serve(a: Sprs, order: int = 0, *, sym: Optional[Symb] = None,
+def qrsol_serve(a: Sprs, order: int = 2, *, sym: Optional[Symb] = None,
                 refine: int = 8):
     """Device-resident batched least-squares / minimum-norm solve handle:
     `h(B[m, nrhs]) -> X[n, nrhs]` with `qrsol_ls` (CSNE) semantics —
@@ -1410,7 +1410,7 @@ def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
     return out
 
 
-def qrsol_ls(a: Sprs, b, order: int = 0, refine: int = 2,
+def qrsol_ls(a: Sprs, b, order: int = 2, refine: int = 2,
              *, sym: Optional[Symb] = None):
     """Least-squares / minimum-norm solve via corrected seminormal equations
     (CSNE, Björck): R from the multifrontal Cholesky of A'A (R'R = A'A),
@@ -1476,7 +1476,7 @@ def qrsol_ls(a: Sprs, b, order: int = 0, refine: int = 2,
     return x
 
 
-def qrsol_multi(a: Sprs, B, order: int = 0, refine: int = 2,
+def qrsol_multi(a: Sprs, B, order: int = 2, refine: int = 2,
                 *, sym: Optional[Symb] = None):
     """Batched least-squares / minimum-norm solve: B is [m, nrhs]; returns
     X [n, nrhs] minimizing ||A@X - B|| columnwise (minimum-norm when m < n).
@@ -1726,6 +1726,19 @@ def cholsol(a: Sprs, b, order: int = 0, *, sym: Optional[Symb] = None):
     n = a.n
     with phase_timer("cholsol.symbolic", nnz=a.nnz()):
         s = sym if sym is not None else schol(a, order)
+    if config.backend != "host":
+        with phase_timer("cholsol.oneshot", nnz=s.lnz):
+            shot = _chol_one_shot(a, s, np.asarray(b, np.float64)[:, None])
+        if shot is not None:
+            Xf, rmax, xmax, mfp = shot
+            bb = np.asarray(b, dtype=np.float64)
+            scale = max(float(np.abs(bb).max()), xmax, 1.0)
+            if rmax <= 1e-10 * scale:
+                out = _writable(Xf[:, 0])
+            else:  # in-program refinement fell short: continue step-by-step
+                out = _chol_mf_refine(a, s, mfp, bb, _writable(Xf[:, 0]))
+            _writeback(b, out)
+            return out
     with phase_timer("cholsol.factor", nnz=s.lnz):
         nm = chol(a, s, mixed=True)
     x = np.zeros(n, dtype=np.float64)
@@ -2063,6 +2076,196 @@ def _chol_mf_solve_fused(a: Sprs, s, mfp, Bm: np.ndarray, steps: int = 2):
         args.append(pv)
     X, rmax, xmax = jax.device_get(fn(*args))
     return np.asarray(X, np.float64), float(rmax), float(xmax)
+
+
+def _chol_oneshot_maps(a: Sprs, s):
+    """Cached host gather maps for the one-shot SPD solve: `perm` maps A's
+    values onto the symmetric-permuted upper triangle C = triu(PAP') the
+    factorization consumes (ops.plan.symperm_plan, reference
+    src/lib.rs:2369-2408), and (Mi, Mj, mxmap) give the symmetrized COO
+    residual matrix in ORIGINAL row order with values gathered straight
+    from A.x (pattern work done once per Symb; per call only two numpy
+    gathers remain)."""
+    maps = s.__dict__.get("_oneshot_maps")
+    if maps is None:
+        from .ops.plan import symperm_plan
+
+        n = a.n
+        sp_ = symperm_plan(a, s.pinv)
+        # factor-input values: the MF plan is built on c = symperm(A, pinv)
+        # when an ordering is in play, but on A AS STORED for natural order
+        # (factor.chol mirrors the reference: chol reads only triu entries,
+        # so the extra stored-lower values are inert) — the gather must
+        # match the pattern the plan was built on
+        sperm = np.asarray(sp_.perm, np.int64)
+        perm = sperm if s.pinv is not None else np.arange(a.nnz(),
+                                                          dtype=np.int64)
+        ci = np.asarray(sp_.out_i, np.int64)
+        cj = col_ids(sp_.out_p, n)
+        offd = ci != cj
+        Mi = np.concatenate([ci, cj[offd]])
+        Mj = np.concatenate([cj, ci[offd]])
+        mxmap = np.concatenate([sperm, sperm[offd]])
+        if s.pinv is not None:
+            porder = np.argsort(np.asarray(s.pinv, np.int64))
+            Mi = porder[Mi]
+            Mj = porder[Mj]
+        import jax.numpy as jnp
+
+        # padded row-segment form of the residual matvec: r[i] =
+        # sum_k vals[i,k] * x[cols[i,k]] — a GATHER of n*K elements, where
+        # the COO scatter-add costs ~160 ns/element on TPU (measured: 5 ms
+        # vs 1 ms for this 25k-nnz matrix). K = max row degree; rows padded
+        # with col n-1 / value 0. Falls back to COO form when K blows up
+        # (a near-dense row) — pad_idx is None then.
+        cnt = np.bincount(Mi, minlength=n)
+        K = int(cnt.max()) if len(Mi) else 1
+        if K <= 64:
+            rord = np.argsort(Mi, kind="stable")
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(cnt, out=offs[1:])
+            pad_idx = np.full((n, K), -1, np.int64)
+            ar = np.arange(len(Mi))
+            pad_idx[Mi[rord], ar - offs[Mi[rord]]] = rord
+            col_pad = np.where(pad_idx >= 0,
+                               Mj[np.clip(pad_idx, 0, None)], n - 1)
+            mx_padmap = np.where(pad_idx >= 0,
+                                 mxmap[np.clip(pad_idx, 0, None)], -1)
+            pad = (mx_padmap, jnp.asarray(col_pad.astype(np.int32)))
+        else:
+            pad = (None, None)
+        maps = (perm, mxmap, jnp.asarray(Mi.astype(np.int32)),
+                jnp.asarray(Mj.astype(np.int32)), pad)
+        s.__dict__["_oneshot_maps"] = maps
+    return maps
+
+
+def _chol_one_shot(a: Sprs, s, Bm: np.ndarray, steps: int = 4):
+    """ONE device program for the ENTIRE SPD solve: permuted-value scatter,
+    multifrontal factorization, tree solves and `steps` keep-best f64
+    refinement iterations — a single launch ending in a single small
+    readback (X, dmin, rmax, xmax). This is what makes the device path win
+    latency-bound problems (cholsol_7-class, BASELINE.md anchors) through
+    a tunneled runtime: the previous chol()+solve split paid one tunnel
+    round trip per phase plus a dmin sync between them.
+
+    Factors in f32 on TPU (config.chol_factor_dtype="auto") with the f64
+    residual recovered by the in-program refinement; a dmin <= 0 retries in
+    f64 before raising NotPositiveDefiniteError (mirrors factor.chol).
+    Returns (X[n, nrhs] f64, rmax, xmax, mfp) with the device factor tree
+    cached on the plan (so step-by-step refinement can continue if the
+    in-program steps fell short), or None when no fusable MF plan exists."""
+    import jax
+    import jax.numpy as jnp
+
+    from .errors import NotPositiveDefiniteError
+    from .factor.frontal import (FUSE_ENTRY_CAP, _chol_factor_dtype,
+                                 _chol_mf_values, _collect_chol_dev,
+                                 _plan_index_entries, _prep_factor_indices,
+                                 _prep_solve_indices, _solve_mf_dev,
+                                 build_mf_plan)
+    from .symbolic import _symperm_host
+
+    n = a.n
+    if n < config.mf_min_n:
+        return None
+    mfp = getattr(s, "_mf_plan", "unset")
+    if mfp == "unset" or isinstance(mfp, str):
+        c = _symperm_host(a, s.pinv) if s.pinv is not None else a
+        mfp = build_mf_plan(c, s)
+        s._mf_plan = mfp
+    if mfp is None:
+        return None
+    if not mfp.__dict__.setdefault(
+            "_fuse_ok", _plan_index_entries(mfp) <= FUSE_ENTRY_CAP):
+        return None
+    _prep_factor_indices(mfp)
+    _prep_solve_indices(mfp)
+    dev = _collect_chol_dev(mfp)
+    perm, mxmap, Mi, Mj, (mx_padmap, col_pad) = _chol_oneshot_maps(a, s)
+    ax = np.asarray(a.x[: a.nnz()], np.float64)
+    cx_h = ax[perm]
+    padded = mx_padmap is not None
+    if padded:
+        mx_h = np.where(mx_padmap >= 0,
+                        ax[np.clip(mx_padmap, 0, None)], 0.0)
+    else:
+        mx_h = ax[mxmap]
+    pv = (jnp.asarray(np.asarray(s.pinv, np.int64))
+          if s.pinv is not None else None)
+    fn = mfp.__dict__.get("_oneshot_jit")
+    if fn is None:
+        def run(Cx, B, dev, Mi_, Mj_, Mx_, *popt):
+            p_ = popt[0] if popt else None
+            Lx, dmins, cache = _chol_mf_values(Cx, mfp, dev)
+            dmin = (jnp.min(jnp.stack(dmins)).astype(jnp.float64) if dmins
+                    else jnp.asarray(1.0, jnp.float64))
+            ft = Cx.dtype
+            nrhs = B.shape[1]
+
+            def solve_once(R):  # original order in and out
+                Z = (R if p_ is None else
+                     jnp.zeros((n, nrhs), jnp.float64).at[p_].set(R))
+                Y = _solve_mf_dev(mfp, Z.astype(ft), cache)
+                Y = Y.astype(jnp.float64)
+                return Y if p_ is None else Y[p_]
+
+            def amul(X):
+                if padded:  # [n, K] gather form — no TPU scatter
+                    return jnp.einsum("nk,nkr->nr", Mx_, X[Mj_])
+                return jnp.zeros((n, nrhs), jnp.float64).at[Mi_].add(
+                    Mx_[:, None] * X[Mj_])
+
+            B64 = B.astype(jnp.float64)
+            X = solve_once(B64)
+            r = B64 - amul(X)
+            rmax0 = jnp.max(jnp.abs(r))
+            scale = jnp.maximum(jnp.max(jnp.abs(B64)), 1.0)
+
+            # early-exit keep-best refinement (mirrors _make_serve_handle):
+            # converged systems stop after one residual check instead of
+            # paying all `steps` solves
+            def cond(st):
+                _, _, k, rmax, prev = st
+                return (k < steps) & (rmax > 1e-13 * scale) & (rmax < prev)
+
+            def body(st):
+                X, r, k, rmax, _ = st
+                X2 = X + solve_once(r)
+                r2 = B64 - amul(X2)
+                rmax2 = jnp.max(jnp.abs(r2))
+                better = rmax2 < rmax
+                X = jnp.where(better, X2, X)
+                r = jnp.where(better, r2, r)
+                return (X, r, k + 1, jnp.minimum(rmax2, rmax), rmax)
+
+            X, r, _, rmax, _ = jax.lax.while_loop(
+                cond, body, (X, r, 0, rmax0, jnp.inf))
+            return X, dmin, rmax, jnp.max(jnp.abs(X)), cache
+
+        fn = jax.jit(run)
+        mfp.__dict__["_oneshot_jit"] = fn
+
+    Bd = jnp.asarray(Bm)
+    Mx = jnp.asarray(mx_h)
+    Mj_arg = col_pad if padded else Mj
+    for fdt in (_chol_factor_dtype(True), None):
+        Cx = jnp.asarray(cx_h) if fdt is None else jnp.asarray(cx_h, fdt)
+        args = [Cx, Bd, dev, Mi, Mj_arg, Mx]
+        if pv is not None:
+            args.append(pv)
+        X, dmin, rmax, xmax, cache = fn(*args)
+        Xh, dmin_h, rmax_h, xmax_h = jax.device_get((X, dmin, rmax, xmax))
+        if dmin_h > 0.0:
+            mfp.__dict__["_cache_tree"] = cache
+            return (np.asarray(Xh, np.float64), float(rmax_h),
+                    float(xmax_h), mfp)
+        if fdt is None:  # genuine NPD (f64 pivot <= 0)
+            break
+        # f32 rounding can push a near-zero pivot of a PD matrix negative —
+        # retry in full precision before raising (mirrors factor.chol)
+    mfp.__dict__.pop("_cache_tree", None)
+    raise NotPositiveDefiniteError()
 
 
 def _chol_mf_refine(a: Sprs, s, mfp, B: np.ndarray, X: np.ndarray,

@@ -27,6 +27,20 @@ def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()}, devices: {jax.local_device_count()}"
 
 
+def pytest_sessionfinish(session, exitstatus):
+    """Unregister jax's gc callback before interpreter teardown.
+
+    Round-2 CI wedge: with pytest-xdist, a worker could hang after [100%]
+    with an unraisable KeyboardInterrupt inside `_xla_gc_callback` — jax
+    registers the callback in `gc.callbacks`, and a late collection during
+    interpreter shutdown raced the worker's exit. Tests are done at this
+    point; dropping the callback (and any other gc hooks) is safe and
+    makes shutdown deterministic."""
+    import gc
+
+    gc.callbacks.clear()
+
+
 def laplacian_sprs(g):
     """g x g 5-point-Laplacian Sprs (SPD) — shared MF-scale test fixture."""
     from bench import laplacian_5pt

