@@ -387,25 +387,86 @@ def _block_tables(p: HaloTriPlan):
         er[:, b, k] = p.ent_row[:, L]
         ec[:, b, k] = p.ent_col[:, L]
         ed[:, b, k] = p.ent_div[:, L]
-    bt = tuple(jnp.asarray(t) for t in (cl, cd, ep, er, ec, ed))
+    # fresh-patch bounds: per (device, block), the static range of OWN
+    # positions the block writes (level columns; plus row partial-updates
+    # in scatter form). The prefetch path ships only this range on the
+    # critical path — the full halo exchange rides ahead of the compute.
+    valid_cl = np.where(cl < p.nb, cl, -1)
+    lo = np.full((d, NB), 0, np.int64)
+    hi = np.full((d, NB), 0, np.int64)
+    m_any = (valid_cl >= 0).any(axis=(2, 3))
+    lo_cl = np.where(valid_cl >= 0, valid_cl, p.nb).min(axis=(2, 3))
+    hi_cl = (valid_cl.max(axis=(2, 3)) + 1)
+    lo = np.where(m_any, lo_cl, 0)
+    hi = np.where(m_any, hi_cl, 0)
+    if p.scatter_form:
+        valid_er = np.where(er < p.nb, er, -1)
+        e_any = (valid_er >= 0).any(axis=(2, 3))
+        lo_er = np.where(valid_er >= 0, valid_er, p.nb).min(axis=(2, 3))
+        hi_er = valid_er.max(axis=(2, 3)) + 1
+        lo = np.where(e_any, np.minimum(lo, lo_er), lo)
+        hi = np.where(e_any, np.maximum(hi, hi_er), hi)
+    F = max(1, int((hi - lo).max()))
+    flo = np.minimum(lo, p.nb - F).clip(min=0).astype(np.int32)
+    bt = tuple(jnp.asarray(t) for t in (cl, cd, ep, er, ec, ed, flo)) + (F,)
     p.__dict__["_blocked"] = bt
     return bt
 
 
-def make_tri_solve_halo(p: HaloTriPlan, mesh: Mesh, axis: str = "model"):
+def make_tri_solve_halo(p: HaloTriPlan, mesh: Mesh, axis: str = "model",
+                        prefetch: bool = True):
     """Jitted sharded triangular solve; x sharded [d, nb]. One halo
     exchange per fused level-block; levels inside a block run in a
-    fori_loop (no per-level unrolling in the trace)."""
+    fori_loop (no per-level unrolling in the trace).
+
+    prefetch=True (comm/compute overlap, SURVEY §5): the FULL halo
+    exchange for block b+1 is issued at the START of block b, before the
+    level loop — it carries no data dependency on block b's compute, so
+    XLA's async collective-permute scheduling can run it concurrently
+    with the block's FMAs. The critical path at each block boundary then
+    ships only an F-wide "fresh" segment (the static range of positions
+    the previous block wrote, F = max over blocks) that patches the
+    prefetched snapshot up to date: snapshot(start of b-1) + writes
+    during b-1 == snapshot(start of b), which is exactly what the
+    non-prefetch path exchanges. prefetch=False keeps the blocking
+    exchange-per-block structure for A/B comparison."""
     nb, hops = p.nb, p.hops
     K = p.kfuse
+    F = _block_tables(p)[-1]
 
-    def shard(tx, cl_b, cd_b, ep_b, er_b, ec_b, ed_b, x_own):
+    def _fresh_patch(xe, fseg, flo):
+        """Patch neighbors' fresh segments into the prefetched halo."""
+        nd = jax.lax.axis_size(axis)
+        send_right = [(i, (i + 1) % nd) for i in range(nd)]
+        send_left = [(i, (i - 1) % nd) for i in range(nd)]
+        seg_l, lo_l = fseg, flo
+        seg_r, lo_r = fseg, flo
+        for h in range(1, hops + 1):
+            seg_l = jax.lax.ppermute(seg_l, axis, send_right)
+            lo_l = jax.lax.ppermute(lo_l, axis, send_right)
+            xe = jax.lax.dynamic_update_slice(
+                xe, seg_l, ((hops - h) * nb + lo_l[0],))
+            seg_r = jax.lax.ppermute(seg_r, axis, send_left)
+            lo_r = jax.lax.ppermute(lo_r, axis, send_left)
+            xe = jax.lax.dynamic_update_slice(
+                xe, seg_r, ((hops + h) * nb + lo_r[0],))
+        return xe
+
+    def shard(tx, cl_b, cd_b, ep_b, er_b, ec_b, ed_b, flo_b, x_own):
         xp = jnp.concatenate([x_own[0], jnp.zeros((1,), tx.dtype)])
 
         def block(carry, tabs):
-            xp = carry
-            cl_, cd_, ep_, er_, ec_, ed_ = tabs  # [K,...] device's block
-            xe0 = _halo_exchange(xp[:nb], hops, axis)
+            if prefetch:
+                xp, xe_pref, fseg, flo_prev = carry
+                cl_, cd_, ep_, er_, ec_, ed_, flo_cur = tabs
+                xe0 = _fresh_patch(xe_pref, fseg, flo_prev)
+                # next block's full halo: issued BEFORE the level loop,
+                # data-independent of it — overlappable by XLA
+                xe_next = _halo_exchange(xp[:nb], hops, axis)
+            else:
+                xp = carry
+                cl_, cd_, ep_, er_, ec_, ed_, flo_cur = tabs
+                xe0 = _halo_exchange(xp[:nb], hops, axis)
 
             def level(k, st):
                 xp, xe = st
@@ -447,18 +508,27 @@ def make_tri_solve_halo(p: HaloTriPlan, mesh: Mesh, axis: str = "model"):
                 return (xp, xe)
 
             xp, _ = jax.lax.fori_loop(0, K, level, (xp, xe0))
+            if prefetch:
+                fseg_next = jax.lax.dynamic_slice(xp, (flo_cur[0],), (F,))
+                return (xp, xe_next, fseg_next, flo_cur), None
             return xp, None
 
         # scan over blocks: tables arrive as [1, NB, K, ...] per device
-        xp, _ = jax.lax.scan(
-            block, xp,
-            (cl_b[0], cd_b[0], ep_b[0], er_b[0], ec_b[0], ed_b[0]))
+        flo_dev = flo_b[0][:, None]  # [NB, 1] (lo rides ppermute as [1])
+        xs = (cl_b[0], cd_b[0], ep_b[0], er_b[0], ec_b[0], ed_b[0], flo_dev)
+        if prefetch:
+            carry0 = (xp, _halo_exchange(xp[:nb], hops, axis),
+                      jax.lax.dynamic_slice(xp, (0,), (F,)),
+                      flo_dev[0] * 0)  # *0: keep the sharded-varying vma
+            (xp, _, _, _), _ = jax.lax.scan(block, carry0, xs)
+        else:
+            xp, _ = jax.lax.scan(block, xp, xs)
         return xp[:nb][None]
 
     fn = shard_map(
         shard, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis)),
+                  P(axis), P(axis)),
         out_specs=P(axis),
     )
     return jax.jit(fn)
@@ -466,7 +536,8 @@ def make_tri_solve_halo(p: HaloTriPlan, mesh: Mesh, axis: str = "model"):
 
 def dist_tri_solve_halo(t: Sprs, x, kind: int, mesh: Mesh,
                         axis: str = "model",
-                        plan: Optional[HaloTriPlan] = None):
+                        plan: Optional[HaloTriPlan] = None,
+                        prefetch: bool = True):
     """Sharded-x level-scheduled triangular solve (halo design)."""
     D = mesh.shape[axis]
     p = plan or halo_tri_plan(t, kind, D)
@@ -474,17 +545,19 @@ def dist_tri_solve_halo(t: Sprs, x, kind: int, mesh: Mesh,
         from . import dist_tri_solve
 
         return dist_tri_solve(t, x, kind, mesh, axis)
-    fn = p.__dict__.get("_fn")
+    key = "_fn" if prefetch else "_fn_nopf"
+    fn = p.__dict__.get(key)
     if fn is None:
-        fn = make_tri_solve_halo(p, mesh, axis)
-        p.__dict__["_fn"] = fn
+        fn = make_tri_solve_halo(p, mesh, axis, prefetch=prefetch)
+        p.__dict__[key] = fn
     nz = t.nnz()
     rp_dummy = RowPartition(t.m, t.n, p.d, p.nb, p.hops, 1,
                             np.zeros(1, np.float64), np.zeros(1, np.int32),
                             np.zeros(1, np.int32), np.zeros(1, np.int64))
     xs = _shard_vec(np.asarray(x, np.float64), rp_dummy)
-    cl_b, cd_b, ep_b, er_b, ec_b, ed_b = _block_tables(p)
-    out = fn(jnp.asarray(t.x[:nz]), cl_b, cd_b, ep_b, er_b, ec_b, ed_b, xs)
+    cl_b, cd_b, ep_b, er_b, ec_b, ed_b, flo_b, _F = _block_tables(p)
+    out = fn(jnp.asarray(t.x[:nz]), cl_b, cd_b, ep_b, er_b, ec_b, ed_b,
+             flo_b, xs)
     return _fetch(out).reshape(-1)[: t.n]
 
 

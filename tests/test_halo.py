@@ -139,3 +139,36 @@ def test_dist_lusol_halo_crossing_labels(mesh):
     finally:
         config.mf_min_n = old
     assert np.abs(d @ np.asarray(x) - b).max() < 1e-8
+
+
+def test_tri_solve_prefetch_matches_blocking():
+    """The comm/compute-overlap path (full halo prefetched a block early
+    + F-wide fresh patch on the critical path) must be bit-identical to
+    the blocking exchange-per-block path: both present the same snapshot
+    to every block (DESIGN.md 'Halo prefetch overlap')."""
+    import jax
+
+    from rsparse_tpu import parallel as par
+    from rsparse_tpu.parallel import halo as H
+
+    D = jax.local_device_count()
+    mesh = par.make_mesh(D, data=1)
+    rng = np.random.default_rng(3)
+    n = 96
+    # banded lower-triangular with cross-shard reach
+    dense = np.eye(n) * 4.0
+    for off in (1, 2, 7, 13):
+        idx = np.arange(n - off)
+        dense[idx + off, idx] = rng.standard_normal(n - off)
+    t = rs.Sprs.new_from_vec(dense.tolist())
+    b = rng.standard_normal(n)
+    for kind in (0, 2):
+        x_pf = np.asarray(H.dist_tri_solve_halo(t, b.copy(), kind, mesh,
+                                                prefetch=True))
+        x_bl = np.asarray(H.dist_tri_solve_halo(t, b.copy(), kind, mesh,
+                                                prefetch=False))
+        np.testing.assert_array_equal(x_pf, x_bl)
+        # oracle: dense triangular solve
+        mat = dense if kind == 0 else dense.T
+        want = np.linalg.solve(mat, b)
+        np.testing.assert_allclose(x_pf[:n], want, rtol=0, atol=1e-9)
