@@ -646,6 +646,74 @@ def bench_spmm(rs, native, jax, jnp):
     return rows / t_dev, rows / t_cpp
 
 
+
+def bench_opchain(rs, native, jax, jnp):
+    """Device-resident op chaining (ops.chain) vs the host engine on the
+    SAME Gram pipeline C = 2*(A'A) + 0.5*I at ~100k nnz — the regime the
+    single-op dispatch carve-out (config.device_ops_min_nnz) sends to
+    host. One program per chain application; warm per-application wall
+    via dependent-chain iteration (docs/DESIGN.md methodology)."""
+    import time as _t
+
+    from rsparse_tpu.data import Sprs
+    from rsparse_tpu.ops import chain
+    from rsparse_tpu.ops import plan as _plan
+
+    n = 20_000
+    Ap, Ai, Ax = rand_csc(n, n, 100_000, seed=0)
+    A = Sprs(len(Ax), n, n, Ap, Ai, Ax)
+    eye = Sprs.eye(n)
+
+    tp = _plan.transpose_plan(A)
+
+    def host_chain(ax):
+        atx = ax[tp.perm]
+        Cp, Ci, Cx = native.multiply_host(n, n, tp.out_p, tp.out_i, atx,
+                                          n, Ap, Ai, ax)
+        G = Sprs(len(Cx), n, n, Cp, Ci, Cx)
+        pl = _plan.add_plan(G, eye)
+        out = np.zeros(pl.nnz)
+        np.add.at(out, pl.seg,
+                  np.concatenate([2.0 * Cx, 0.5 * eye.x[:n]]))
+        return out
+
+    want = host_chain(Ax.copy())
+    t_host = min(_timeit(lambda: host_chain(Ax.copy())) for _ in range(3))
+
+    e = chain(A).transpose().multiply(A).scale(2.0).add(eye, beta=0.5)
+    f = e.values_fn(dtype="float32", multiply_kernel="mxu")
+    axd = jnp.asarray(Ax, np.float32)
+    eyed = jnp.asarray(eye.x[:n], np.float32)
+    iters = 8
+
+    @jax.jit
+    def loop(av, ev):
+        def body(_, cur):
+            c = f.run(cur, ev, *f.consts)
+            return av * (1.0 + 0.0 * c[0])
+
+        return f.run(jax.lax.fori_loop(0, iters, body, av), ev, *f.consts)
+
+    got = np.asarray(loop(axd, eyed), np.float64)
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-4, err
+    t_dev = None
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        float(jnp.sum(loop(axd, eyed)))
+        t = (_t.perf_counter() - t0) / (iters + 1)
+        t_dev = t if t_dev is None else min(t_dev, t)
+    return t_dev, t_host
+
+
+def _timeit(fn):
+    import time as _t
+
+    t0 = _t.perf_counter()
+    fn()
+    return _t.perf_counter() - t0
+
+
 def bench_spgemm(rs, native, jax, jnp):
     """Device-resident DIA SpGEMM kernel (serving setting: operands and
     product live in HBM; one checksum readback ends the dependent chain)
@@ -847,6 +915,11 @@ def main():
         extra["spmm_pallas_nnzrow_per_s"] = round(sm_dev, 1)
         extra["spmm_vs_cpp"] = round(sm_dev / sm_cpp, 3)
 
+    def sec_opchain():
+        oc_dev, oc_host = bench_opchain(rs, native, jax, jnp)
+        extra["opchain_wall_s"] = round(oc_dev, 5)
+        extra["opchain_vs_cpp"] = round(oc_host / oc_dev, 3)
+
     def sec_sptrsv():
         tr_rows, tr_vs_xla, tr_vs_cpp = bench_sptrsv(rs, native, jax, jnp)
         extra["sptrsv_pallas_nnzrow_per_s"] = round(tr_rows, 1)
@@ -858,6 +931,7 @@ def main():
     run("spmv_general", sec_spmv_general)
     run("spgemm_general", sec_spgemm_general)
     run("spmm", sec_spmm)
+    run("opchain", sec_opchain)
     run("sptrsv", sec_sptrsv)
 
     if failures:

@@ -33,6 +33,8 @@ __all__ = [
     "pinvert",
     "fkeep",
     "sprs_print",
+    "chain",
+    "ChainExpr",
 ]
 
 
@@ -293,3 +295,6 @@ def sprs_print(a: Sprs, brief: bool = False) -> None:
             if brief and q > 20:
                 print("  ...")
                 return
+
+
+from .chain import ChainExpr, chain  # noqa: E402  (device op chaining)

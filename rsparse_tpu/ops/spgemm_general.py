@@ -231,6 +231,13 @@ def spgemm_general_fn(plan: MxuSpgemmPlan, dtype: str = "float32",
     def f(ax, bx):
         return kern(ax, bx, *idx)
 
+    # outer-jit callers (ops.chain, bench loops) must thread the index
+    # tensors as ARGUMENTS — a closure capture would bake them into the
+    # uploaded HLO as constants (megabytes of program text through the
+    # remote-compile tunnel): call f.run(ax, bx, *f.consts)
+    f.run = kern
+    f.consts = tuple(idx)
+
     return f
 
 
