@@ -1042,6 +1042,68 @@ def _attach_inners(plan: LUMFPlan, cache, inners: list, idx: int = 0):
     return new_cache, idx + 1
 
 
+def _collect_compose_dev(plan: LUMFPlan):
+    """Static index tensors for the IN-PROGRAM perm compose
+    (`_compose_elim_dev`): per bucket, the scatter destinations of each
+    front's elimination window (dst[t, j] = aa_t + j for j < s_t, padded
+    with n = dropped) and the window bases aa_t; plus the skeleton index
+    vector. Built once per plan, passed as jit arguments."""
+    cdev = plan.__dict__.get("_compose_dev")
+    if cdev is not None:
+        return cdev
+    n = plan.n
+    buckets = []
+    for b in plan.buckets:
+        srow = b.srow
+        F, spn = srow.shape
+        s_t = (srow < n).sum(axis=1)
+        aa_t = np.where(s_t > 0, srow[:, 0], 0).astype(np.int32)
+        j = np.arange(spn, dtype=np.int32)
+        dst = np.where(j[None, :] < s_t[:, None],
+                       aa_t[:, None] + j[None, :], n).astype(np.int32)
+        buckets.append((jnp.asarray(dst), jnp.asarray(aa_t)))
+    cdev = {
+        "buckets": buckets,
+        "skel": jnp.asarray(plan.skel.astype(np.int32)),
+        "sub": (_collect_compose_dev(plan.skel_plan)
+                if isinstance(plan.skel_plan, LUMFPlan) else None),
+        "row_pinv": (jnp.asarray(plan.row_pinv.astype(np.int32))
+                     if plan.row_pinv is not None else None),
+    }
+    plan.__dict__["_compose_dev"] = cdev
+    return cdev
+
+
+def _compose_elim_dev(plan: LUMFPlan, perms: list, idx: int, cdev,
+                      out_inners: list):
+    """Traced mirror of `_compose_elim`: compose the per-front device pivot
+    perms with the recursive skeleton perm ENTIRELY ON DEVICE (no host
+    readback between factorization and solve — this is what lets
+    `solve._lu_one_shot` fuse factor+solve+refine into one program).
+    Consumes `perms` (the perm_parts list from `_lu_mf_values`) in the same
+    traversal order the host pass consumes its concatenated readback.
+    Appends inner elimination maps post-order; returns (elim, idx)."""
+    n = plan.n
+    elim = jnp.arange(n, dtype=jnp.int32)
+    for (dst, aa), b in zip(cdev["buckets"], plan.buckets):
+        F, spn = b.srow.shape
+        P = perms[idx].reshape(F, spn).astype(jnp.int32)
+        idx += 1
+        elim = elim.at[dst].set(aa[:, None] + P, mode="drop")
+    if isinstance(plan.skel_plan, LUMFPlan):
+        inner, idx = _compose_elim_dev(plan.skel_plan, perms, idx,
+                                       cdev["sub"], out_inners)
+    elif isinstance(plan.skel_plan, DenseSkelPlan):
+        inner = perms[idx].astype(jnp.int32)
+        idx += 1
+    else:
+        inner = jnp.arange(len(plan.skel), dtype=jnp.int32)
+    skel = cdev["skel"]
+    elim = elim.at[skel].set(skel[inner])
+    out_inners.append(inner)
+    return elim, idx
+
+
 def _finalize_cache(plan: LUMFPlan, cache, permh: np.ndarray, ofs: int = 0):
     """Host pass after a successful factorization: compose the per-front
     device pivot perms with the recursive skeleton perm.

@@ -1370,8 +1370,22 @@ def lusol_multi(a: Sprs, B, order: int = 1, tol: float = 1e-6,
 
     n = a.n
     s = sym if sym is not None else sqr(a, order, False)
-    nm = lu(a, s, tol, mixed=True)
     Bm = np.asarray(B, dtype=np.float64)
+    if config.backend != "host":
+        # one-shot: factor + device perm compose + batched solve + refine
+        # in a single program (see _lu_one_shot)
+        shot = _lu_one_shot(a, s, Bm, tol)
+        if shot is not None:
+            Xf, rmax, xmax, mfp, pinv_h = shot
+            scale = max(float(np.abs(Bm).max()), xmax, 1.0)
+            if rmax <= 1e-10 * scale:
+                return _writable(Xf)
+            from .data import Nmrc
+
+            nm_shim = Nmrc()
+            nm_shim.pinv = pinv_h
+            return _lu_mf_refine(a, s, nm_shim, mfp, Bm, _writable(Xf))
+    nm = lu(a, s, tol, mixed=True)
     mfp = getattr(s, "_mf_lu_plan", None)
     if (mfp is not None and "_cache_tree" in mfp.__dict__
             and config.backend != "host"):
@@ -1788,6 +1802,24 @@ def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6,
     n = a.n
     with phase_timer("lusol.symbolic", nnz=a.nnz()):
         s = sym if sym is not None else sqr(a, order, False)
+    if config.backend != "host":
+        with phase_timer("lusol.oneshot", nnz=a.nnz()):
+            shot = _lu_one_shot(a, s, np.asarray(b, np.float64)[:, None], tol)
+        if shot is not None:
+            Xf, rmax, xmax, mfp, pinv_h = shot
+            bb = np.asarray(b, dtype=np.float64)
+            scale = max(float(np.abs(bb).max()), xmax, 1.0)
+            if rmax <= 1e-10 * scale:
+                out = _writable(Xf[:, 0])
+            else:  # in-program refinement fell short: continue step-by-step
+                from .data import Nmrc
+
+                nm_shim = Nmrc()
+                nm_shim.pinv = pinv_h
+                out = _lu_mf_refine(a, s, nm_shim, mfp, bb,
+                                    _writable(Xf[:, 0]))
+            _writeback(b, out)
+            return out
     with phase_timer("lusol.factor", nnz=a.nnz()):
         nm = lu(a, s, tol, mixed=True)
     x = np.zeros(n, dtype=np.float64)
@@ -1871,12 +1903,16 @@ def _values_fp(a: Sprs):
 
 
 def _lu_refine_body(plan, n, B64, cache, sdev, Mi_, Mj_, mx, pin_, q_,
-                    steps: int = 2):
+                    steps: int = 2, early: bool = False):
     """Traced core shared by `_lu_mf_solve_fused` (one cache, [n, nrhs]
-    batch) and `lusol_vals` (vmapped per instance): MF-LU solve + `steps`
-    keep-best f64 refinement iterations against the COO residual. All
-    index tensors arrive as arguments (compile-size discipline). Returns
-    (X [n, nrhs] f64, max|r|, max|X|)."""
+    batch), `lusol_vals` (vmapped per instance) and `_lu_one_shot`: MF-LU
+    solve + `steps` keep-best f64 refinement iterations against the COO
+    residual. All index tensors arrive as arguments (compile-size
+    discipline); `pin_` may be a TRACED perm (the one-shot composes it on
+    device). `early=True` runs the steps under a while_loop with
+    convergence/stagnation exit (converged systems stop after one residual
+    check). Returns (X [n, nrhs] f64, max|r|, max|X|)."""
+    import jax
     import jax.numpy as jnp
 
     from .factor.frontal_lu import _solve_lu_mf_dev
@@ -1898,6 +1934,27 @@ def _lu_refine_body(plan, n, B64, cache, sdev, Mi_, Mj_, mx, pin_, q_,
 
     X = solve_once(B64)
     r = B64 - amul(X)
+    if early:
+        rmax0 = jnp.max(jnp.abs(r))
+        scale = jnp.maximum(jnp.max(jnp.abs(B64)), 1.0)
+
+        def cond(st):
+            _, _, k, rmax, prev = st
+            return (k < steps) & (rmax > 1e-13 * scale) & (rmax < prev)
+
+        def body(st):
+            X, r, k, rmax, _ = st
+            X2 = X + solve_once(r)
+            r2 = B64 - amul(X2)
+            rmax2 = jnp.max(jnp.abs(r2))
+            better = rmax2 < rmax
+            X = jnp.where(better, X2, X)
+            r = jnp.where(better, r2, r)
+            return (X, r, k + 1, jnp.minimum(rmax2, rmax), rmax)
+
+        X, r, _, rmax, _ = jax.lax.while_loop(
+            cond, body, (X, r, 0, rmax0, jnp.inf))
+        return X, rmax, jnp.max(jnp.abs(X))
     for _ in range(steps):
         X2 = X + solve_once(r)
         r2 = B64 - amul(X2)
@@ -1955,6 +2012,111 @@ def _lu_mf_solve_fused(a: Sprs, s, nm, mfp, Bm: np.ndarray,
         args.append(qv)
     X, rmax, xmax = jax.device_get(fn(*args))
     return np.asarray(X, np.float64), float(rmax), float(xmax)
+
+
+def _lu_one_shot(a: Sprs, s, Bm: np.ndarray, tol: float, steps: int = 4):
+    """ONE device program for the ENTIRE pivoting-LU solve: multifrontal
+    factorization (threshold pivoting inside fronts), IN-PROGRAM pivot-perm
+    compose (`_compose_elim_dev` — the host finalize pass of lu_mf moved
+    into the trace), row permute, tree solves and keep-best f64 refinement,
+    ending in a single small readback (X, accept stats, rmax, xmax, pinv).
+    LU mirror of `_chol_one_shot` — through a tunneled runtime this
+    collapses the factor-launch + stats-readback + solve-launch round trips
+    of the split lu()+solve path into one.
+
+    Factors in f32 on TPU (config.lu_factor_dtype="auto"); the reference
+    tol rule (src/lib.rs:587-589) is enforced via the same margin stats as
+    lu_mf — a reject sets `s._static_rejected` (exactly the condition under
+    which lu_mf would have rejected) and returns None so the caller falls
+    through to the host engine's exact global pivoting. Returns
+    (X [n, nrhs] f64, rmax, xmax, mfp, pinv) on acceptance, with the device
+    factor tree cached on the plan for follow-up refinement/solves."""
+    import jax
+    import jax.numpy as jnp
+
+    from .factor.frontal import FUSE_ENTRY_CAP
+    from .factor.frontal_lu import (
+        _attach_inners, _collect_compose_dev, _collect_lu_dev,
+        _collect_lu_sdev, _compose_elim_dev, _lu_factor_dtype,
+        _lu_mf_values, _lu_plan_index_entries, _prep_lu_factor_indices,
+        _prep_lu_solve_indices, build_lu_mf_plan)
+
+    n = a.n
+    if n < config.mf_min_n or getattr(s, "_static_rejected", False):
+        return None
+    mfp = getattr(s, "_mf_lu_plan", "unset")
+    if isinstance(mfp, str):
+        try:
+            mfp = build_lu_mf_plan(a, s)
+        except Exception:
+            mfp = None
+        s._mf_lu_plan = mfp
+    if mfp is None:
+        return None
+    if not mfp.__dict__.setdefault(
+            "_fuse_ok", _lu_plan_index_entries(mfp) <= FUSE_ENTRY_CAP):
+        return None
+    _prep_lu_factor_indices(mfp)
+    _prep_lu_solve_indices(mfp)
+    dev = _collect_lu_dev(mfp)
+    sdev = _collect_lu_sdev(mfp)
+    cdev = _collect_compose_dev(mfp)
+    nz = a.nnz()
+    pat = mfp.__dict__.get("_fused_solve_pattern")
+    if pat is None:
+        pat = (jnp.asarray(a.i[:nz].astype(np.int32)),
+               jnp.asarray(col_ids(a.p, n).astype(np.int32)))
+        mfp.__dict__["_fused_solve_pattern"] = pat
+    Mi, Mj = pat
+    Mx = jnp.asarray(np.asarray(a.x[:nz], np.float64))
+    ax_host = a.x[:nz]
+    if mfp.vperm is not None:  # factorization runs on A(P, P)
+        ax_host = ax_host[mfp.vperm]
+    fdt = _lu_factor_dtype(True)
+    Ax = jnp.asarray(ax_host) if fdt is None else jnp.asarray(ax_host, fdt)
+    tolv = jnp.asarray(float(tol), Ax.dtype)
+    qv = jnp.asarray(np.asarray(s.q, np.int64)) if s.q is not None else None
+    fn = mfp.__dict__.get("_oneshot_jit")
+    if fn is None:
+        def run(Ax, tolv, B, dev, sdev, cdev, Mi_, Mj_, Mx_, *qopt):
+            q_ = qopt[0] if qopt else None
+            Lx, Ux, margins, bads, cache, perms = _lu_mf_values(
+                Ax, mfp, tolv, dev)
+            mg = (jnp.min(jnp.stack(margins)) if margins
+                  else jnp.asarray(0.0, Ax.dtype))
+            bad = jnp.any(jnp.stack(bads)) if bads else jnp.asarray(False)
+            inners: list = []
+            elim, _ = _compose_elim_dev(mfp, perms, 0, cdev, inners)
+            cache, _ = _attach_inners(mfp, cache, inners)
+            einv = jnp.zeros(n, jnp.int32).at[elim].set(
+                jnp.arange(n, dtype=jnp.int32))
+            rp = cdev["row_pinv"]
+            pinv = einv if rp is None else einv[rp]
+            X, rmax, xmax = _lu_refine_body(
+                mfp, n, B.astype(jnp.float64), cache, sdev,
+                Mi_, Mj_, Mx_, pinv, q_, steps, early=True)
+            stats = jnp.stack([mg.astype(jnp.float64),
+                               bad.astype(jnp.float64)])
+            return X, stats, rmax, xmax, pinv, cache
+
+        fn = jax.jit(run)
+        mfp.__dict__["_oneshot_jit"] = fn
+    args = [Ax, tolv, jnp.asarray(Bm), dev, sdev, cdev, Mi, Mj, Mx]
+    if qv is not None:
+        args.append(qv)
+    X, stats, rmax, xmax, pinv, cache = fn(*args)
+    Xh, stats_h, rmax_h, xmax_h, pinv_h = jax.device_get(
+        (X, stats, rmax, xmax, pinv))
+    # accept rule == lu_mf's: zero pivot or boundary-row growth beyond what
+    # refinement can contract degrades to the host engine's exact pivoting
+    worst_min = float(stats_h[0]) + float(tol)
+    if bool(stats_h[1]) or not (worst_min >= 1e-10):
+        mfp.__dict__.pop("_cache_tree", None)
+        s._static_rejected = True
+        return None
+    mfp.__dict__["_cache_tree"] = cache
+    return (np.asarray(Xh, np.float64), float(rmax_h), float(xmax_h),
+            mfp, np.asarray(pinv_h, np.int64))
 
 
 def _lu_mf_refine(a: Sprs, s, nm, mfp, B: np.ndarray, X: np.ndarray,

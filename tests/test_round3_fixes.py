@@ -269,3 +269,140 @@ def test_chol_one_shot_refine_fallback(monkeypatch):
     got = rs.cholsol(a, list(b), 0)
     assert calls["refine"] == 1
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# LU one-shot (factor + in-program perm compose + solve + refine, one launch)
+# ---------------------------------------------------------------------------
+
+
+def _unsym_band(n, seed=0, diag=lambda j: 4.0):
+    """Unsymmetric banded test matrix (offsets -3, -1, 0, +2)."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for j in range(n):
+        for i in (j - 3, j - 1, j, j + 2):
+            if 0 <= i < n:
+                rows.append(i)
+                cols.append(j)
+                vals.append(diag(j) if i == j else rng.standard_normal())
+    r = np.asarray(rows)
+    c = np.asarray(cols)
+    v = np.asarray(vals)
+    p = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(c, minlength=n), out=p[1:])
+    order = np.argsort(c, kind="stable")
+    return rs.Sprs(len(v), n, n, p, r[order], v[order])
+
+
+def test_lu_one_shot_path_taken_and_exact():
+    """At MF scale lusol must take the one-shot path (factorization, device
+    perm compose, solve and refinement in ONE program) and produce an
+    f64-residual solution; a second solve reuses the cached program."""
+    a = _unsym_band(1600, seed=2)
+    n = a.n
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(n)
+    s = rs.symbolic.sqr(a, 1, False)
+    got = np.asarray(rs.lusol(a, list(b), 1, sym=s))
+    assert s._mf_lu_plan is not None
+    assert "_oneshot_jit" in s._mf_lu_plan.__dict__
+    assert "_cache_tree" in s._mf_lu_plan.__dict__
+    Ad = a.to_dense_np()
+    scale = max(1.0, np.abs(b).max(), np.abs(got).max())
+    assert np.abs(Ad @ got - b).max() <= 1e-10 * scale
+    b2 = rng.standard_normal(n)
+    got2 = np.asarray(rs.lusol(a, list(b2), 1, sym=s))
+    assert np.abs(Ad @ got2 - b2).max() <= 1e-10 * max(
+        1.0, np.abs(b2).max(), np.abs(got2).max())
+
+
+def test_lu_one_shot_pivoting_composes_perms_on_device():
+    """Near-zero diagonals force in-front pivot swaps: the device-composed
+    elimination perm (pinv) must match what the host finalize pass would
+    produce — verified end-to-end via the residual."""
+    a = _unsym_band(1600, seed=4, diag=lambda j: 1e-9)
+    n = a.n
+    b = np.random.default_rng(5).standard_normal(n)
+    s = rs.symbolic.sqr(a, 1, False)
+    got = np.asarray(rs.lusol(a, list(b), 1, sym=s))
+    assert "_oneshot_jit" in s._mf_lu_plan.__dict__
+    Ad = a.to_dense_np()
+    scale = max(1.0, np.abs(b).max(), np.abs(got).max())
+    assert np.abs(Ad @ got - b).max() <= 1e-10 * scale
+
+
+def test_lu_one_shot_refine_fallback(monkeypatch):
+    """If the in-program refinement reports a residual above the accept
+    gate, lusol must continue through the step-by-step _lu_mf_refine with
+    the device-composed pinv and the cached tree — and still land on the
+    exact answer."""
+    a = _unsym_band(1600, seed=6)
+    n = a.n
+    b = np.random.default_rng(7).standard_normal(n)
+
+    orig = solve_mod._lu_one_shot
+    calls = {"refine": 0}
+
+    def bad_rmax(a_, s_, Bm, tol, steps=4):
+        out = orig(a_, s_, Bm, tol, steps)
+        if out is None:
+            return None
+        X, _, xmax, mfp, pinv = out
+        return X, np.inf, xmax, mfp, pinv  # force the fallback tier
+
+    orig_refine = solve_mod._lu_mf_refine
+
+    def spy_refine(*args, **kw):
+        calls["refine"] += 1
+        return orig_refine(*args, **kw)
+
+    monkeypatch.setattr(solve_mod, "_lu_one_shot", bad_rmax)
+    monkeypatch.setattr(solve_mod, "_lu_mf_refine", spy_refine)
+    got = np.asarray(rs.lusol(a, list(b), 1))
+    assert calls["refine"] == 1
+    Ad = a.to_dense_np()
+    scale = max(1.0, np.abs(b).max(), np.abs(got).max())
+    assert np.abs(Ad @ got - b).max() <= 1e-10 * scale
+
+
+def test_lu_one_shot_margin_reject_degrades_to_host(monkeypatch):
+    """A bad-pivot report from the factorization must reject the one-shot
+    (setting _static_rejected so sym-reuse callers skip the device attempt)
+    and fall through to a correct solve."""
+    from rsparse_tpu.factor import frontal_lu
+
+    a = _unsym_band(1600, seed=8)
+    n = a.n
+    b = np.random.default_rng(9).standard_normal(n)
+
+    orig_vals = frontal_lu._lu_mf_values
+
+    def poisoned(Ax, plan, tolv, dev):
+        import jax.numpy as jnp
+
+        Lx, Ux, margins, bads, cache, perms = orig_vals(Ax, plan, tolv, dev)
+        return Lx, Ux, margins, [jnp.asarray(True)], cache, perms
+
+    monkeypatch.setattr(frontal_lu, "_lu_mf_values", poisoned)
+    s = rs.symbolic.sqr(a, 1, False)
+    got = np.asarray(rs.lusol(a, list(b), 1, sym=s))
+    assert getattr(s, "_static_rejected", False)
+    Ad = a.to_dense_np()
+    scale = max(1.0, np.abs(b).max(), np.abs(got).max())
+    assert np.abs(Ad @ got - b).max() <= 1e-8 * scale
+
+
+def test_lusol_multi_one_shot_batched():
+    """lusol_multi at MF scale routes the whole batch through the one-shot
+    (one program; no separate lu() factor launch)."""
+    a = _unsym_band(1600, seed=10)
+    n = a.n
+    B = np.random.default_rng(11).standard_normal((n, 8))
+    s = rs.symbolic.sqr(a, 1, False)
+    X = np.asarray(rs.lusol_multi(a, B, 1, sym=s))
+    assert "_oneshot_jit" in s._mf_lu_plan.__dict__
+    Ad = a.to_dense_np()
+    scale = max(1.0, np.abs(B).max(), np.abs(X).max())
+    assert np.abs(Ad @ X - B).max() <= 1e-10 * scale
+    assert X.flags.writeable
