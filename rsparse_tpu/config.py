@@ -57,6 +57,18 @@ class Config:
     # CPU test backend runs the kernel through the Pallas interpreter);
     # "off" disables it.
     serve_mixed: str = "auto"
+    # Factor-value dtype for the multifrontal QR front kernels. "auto" =
+    # float32 on TPU (batched lax.linalg.qr in f64 measured 56x slower to
+    # RUN and 9x slower to COMPILE than f32 on v5e — f64 is emulated),
+    # float64 on CPU (exact parity for tests). The MF qrsol drivers append
+    # fused f64 refinement steps when the factor is f32.
+    qr_factor_dtype: str = "auto"
+    # Refinement steps appended inside the MF qrsol device program when the
+    # factor dtype is f32. Least-squares branch: CSNE steps (f64 gradient
+    # SpMVs + two f32 R sweeps each — no eps32·‖r*‖ floor, ~κ²·eps32
+    # contraction); minimum-norm branch: Qᵀ/sweep re-solve steps (the
+    # system is consistent, so plain residual refinement converges).
+    qr_refine: int = 3
     # Latency tier (tunneled TPU only): Cholesky factors below this lnz run
     # the native host engine — through a remote-runtime tunnel the per-launch
     # latency (~15-20 ms) dwarfs the flops of small factors, and the
@@ -84,12 +96,27 @@ def _enable_compilation_cache(jax) -> None:
     one-time cost per machine."""
     import os
 
+    # CPU-only runs (tests, the virtual-mesh dryrun) compile locally in
+    # milliseconds; persisting their AOT results buys nothing and reloading
+    # entries written under different host-CPU feature sets trips XLA's
+    # machine-feature mismatch check. The cache exists for the remote
+    # TPU-tunnel compiles, so keep it scoped to those backends.
+    plats = (os.environ.get("JAX_PLATFORMS")
+             or getattr(jax.config, "jax_platforms", None) or "")
+    if plats.strip().lower() == "cpu":
+        return
     cache = os.environ.get(
         "RSPARSE_TPU_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist EVERY compile, including sub-second ones: through a
+        # remote-compile tunnel even a scalar convert_element_type costs
+        # ~0.5 s of RPC, and plan building dispatches dozens of distinct
+        # tiny programs — below the default 1.0 s threshold they were
+        # recompiled every process (measured: ~48 s of a lusol_6 cold
+        # start was 99 sub-second compiles).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # older jax without the knobs
         pass

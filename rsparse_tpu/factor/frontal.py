@@ -498,12 +498,31 @@ def _chol_mf_values(Cx, plan: MFPlan, dev):
 
 
 # Above this many index-tensor entries, fusing the whole factorization into
-# one launch stops paying off: compile time through the remote service grows
-# superlinearly while the eager path's per-kernel launches already amortize
-# well (measured on lusol_6: fused warm 2.14 s vs eager warm 1.99 s, with a
-# multi-10-minute fused compile). Index tensors flow in as jit arguments
-# either way, so each individually-jitted kernel stays cacheable.
+# one launch stops paying off and the eager per-kernel path takes over. The
+# trade is backend-dependent, so FUSE_ENTRY_CAP is resolved per call:
+#
+# - TPU (high launch latency, persistent compile cache): re-measured in
+#   round 4 on lusol_6 (13.8M entries) after the one-shot refinement/
+#   compose work landed — fused warm 0.17 s vs eager warm 0.30 s, fused
+#   cold start 25-46 s (trace 3.7 s + MLIR 2.0 s + compile, persistent-
+#   cacheable) vs eager cold start 70-155 s (thousands of small-op
+#   dispatches through the tunnel, each a ~25 ms RPC, plus ~99 sub-second
+#   compiles). Fused wins on BOTH axes, so the TPU cap is 48M.
+# - CPU (tests, virtual mesh): local launches are ~free and XLA:CPU takes
+#   minutes to compile the giant program (measured 305 s on the same
+#   lusol_6 plan), so the eager path keeps the old 8M cap.
+#
+# Index tensors flow in as jit arguments either way, so compiled programs
+# stay persistent-cacheable across processes.
 FUSE_ENTRY_CAP = 8_000_000
+FUSE_ENTRY_CAP_TPU = 48_000_000
+
+
+def fuse_entry_cap() -> int:
+    import jax
+
+    return (FUSE_ENTRY_CAP if jax.default_backend() == "cpu"
+            else FUSE_ENTRY_CAP_TPU)
 
 
 def _plan_index_entries(plan: MFPlan) -> int:
@@ -540,7 +559,7 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan, mixed: bool = False):
     Returns (Lp, Li, Lx_host) and caches the solve tree on the plan."""
     _prep_factor_indices(plan)
     fuse = plan.__dict__.setdefault(
-        "_fuse_ok", _plan_index_entries(plan) <= FUSE_ENTRY_CAP)
+        "_fuse_ok", _plan_index_entries(plan) <= fuse_entry_cap())
     dev = _collect_chol_dev(plan)
     fdt = _chol_factor_dtype(mixed)
     cx_host = c.x[: c.nnz()]

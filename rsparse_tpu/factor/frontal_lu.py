@@ -1161,7 +1161,7 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float, mixed: bool = False):
     (Fusing everything at lusol_6 scale was measured SLOWER warm — eager
     launches pipeline through the tunnel — so the cap stays conservative;
     see frontal.FUSE_ENTRY_CAP.)"""
-    from .frontal import FUSE_ENTRY_CAP
+    from .frontal import fuse_entry_cap
 
     _prep_lu_factor_indices(plan)
     ax_host = a.x[: a.nnz()]
@@ -1171,7 +1171,7 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float, mixed: bool = False):
     Ax = jnp.asarray(ax_host) if fdt is None else jnp.asarray(ax_host, fdt)
     tolv = jnp.asarray(float(tol), Ax.dtype)
     fuse = plan.__dict__.setdefault(
-        "_fuse_ok", _lu_plan_index_entries(plan) <= FUSE_ENTRY_CAP)
+        "_fuse_ok", _lu_plan_index_entries(plan) <= fuse_entry_cap())
     dev = _collect_lu_dev(plan)
     if fuse:
         fn = plan.__dict__.get("_factor_jit")

@@ -198,7 +198,7 @@ def test_chol_one_shot_path_taken_and_exact():
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
     # the one-shot cached its device factor tree on the plan
     assert "_cache_tree" in s._mf_plan.__dict__
-    assert "_oneshot_jit" in s._mf_plan.__dict__
+    assert "_oneshot_jit_4" in s._mf_plan.__dict__
 
 
 def test_chol_one_shot_f32_underflow_retries_f64(monkeypatch):
@@ -306,7 +306,7 @@ def test_lu_one_shot_path_taken_and_exact():
     s = rs.symbolic.sqr(a, 1, False)
     got = np.asarray(rs.lusol(a, list(b), 1, sym=s))
     assert s._mf_lu_plan is not None
-    assert "_oneshot_jit" in s._mf_lu_plan.__dict__
+    assert "_oneshot_jit_4" in s._mf_lu_plan.__dict__
     assert "_cache_tree" in s._mf_lu_plan.__dict__
     Ad = a.to_dense_np()
     scale = max(1.0, np.abs(b).max(), np.abs(got).max())
@@ -326,7 +326,7 @@ def test_lu_one_shot_pivoting_composes_perms_on_device():
     b = np.random.default_rng(5).standard_normal(n)
     s = rs.symbolic.sqr(a, 1, False)
     got = np.asarray(rs.lusol(a, list(b), 1, sym=s))
-    assert "_oneshot_jit" in s._mf_lu_plan.__dict__
+    assert "_oneshot_jit_4" in s._mf_lu_plan.__dict__
     Ad = a.to_dense_np()
     scale = max(1.0, np.abs(b).max(), np.abs(got).max())
     assert np.abs(Ad @ got - b).max() <= 1e-10 * scale
@@ -401,7 +401,7 @@ def test_lusol_multi_one_shot_batched():
     B = np.random.default_rng(11).standard_normal((n, 8))
     s = rs.symbolic.sqr(a, 1, False)
     X = np.asarray(rs.lusol_multi(a, B, 1, sym=s))
-    assert "_oneshot_jit" in s._mf_lu_plan.__dict__
+    assert "_oneshot_jit_4" in s._mf_lu_plan.__dict__
     Ad = a.to_dense_np()
     scale = max(1.0, np.abs(B).max(), np.abs(X).max())
     assert np.abs(Ad @ X - B).max() <= 1e-10 * scale
