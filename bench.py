@@ -34,14 +34,39 @@ the run costs one metric, not the round. Failed sections are recorded as
 `<name>_error` entries in `extra` (with the traceback on stderr), and the
 process exits 0 as long as the headline landed. The LAST line printed is
 always the most complete snapshot.
+
+Time bounding (round-4 fix): the whole bench runs against DEADLINE_S
+(env RSPARSE_BENCH_DEADLINE_S, default 420 s) — sections are skipped once
+the budget is nearly spent (`skipped_sections`), and a SIGALRM watchdog
+interrupts a section that hangs inside the remaining budget (round 3's
+qrsol traced a >30-min remote compile and the driver's kill voided every
+kernel metric behind it). qrsol now runs LAST for the same reason.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 import traceback
 
 import numpy as np
+
+# Wall-clock budget for the WHOLE bench (driver runs it under a hard
+# timeout; a section that hangs — e.g. a pathological remote compile —
+# must cost one metric, not every later one). Between sections the budget
+# gates starting the next; within a section SIGALRM interrupts a stuck
+# wait (the tunnel blocks in interruptible Python-level waits).
+DEADLINE_S = float(os.environ.get("RSPARSE_BENCH_DEADLINE_S", "420"))
+_START = time.perf_counter()  # re-anchored at main() entry
+
+
+def _remaining():
+    return DEADLINE_S - (time.perf_counter() - _START)
+
+
+class _SectionTimeout(Exception):
+    pass
 
 
 def laplacian_5pt(g: int):
@@ -793,6 +818,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    global _START
+    _START = time.perf_counter()  # the budget starts HERE, not at import
     _ensure_tpu(jax)
 
     import rsparse_tpu as rs
@@ -815,10 +842,28 @@ def main():
                 return True
         return False
 
+    skipped = []
+
     def run(name, fn):
-        """One fault-isolated bench section; snapshot-emit afterwards so a
-        later crash can only cost later metrics (driver keeps the tail)."""
+        """One fault-isolated, TIME-BOUNDED bench section; snapshot-emit
+        afterwards so a late crash/hang can only cost later metrics (the
+        driver keeps the tail)."""
+        left = _remaining()
+        if left < 30:
+            skipped.append(name)
+            extra["skipped_sections"] = ",".join(skipped)
+            print(f"# {name}: SKIPPED (deadline, {left:.0f}s left)",
+                  file=sys.stderr, flush=True)
+            emit()
+            return
         t0 = time.perf_counter()
+
+        def _on_alarm(signum, frame):
+            raise _SectionTimeout(
+                f"section exceeded the {left:.0f}s remaining budget")
+
+        prev = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(int(left) + 5)
         try:
             fn()
             print(f"# {name}: ok ({time.perf_counter() - t0:.1f}s)",
@@ -827,6 +872,9 @@ def main():
             failures.append(name)
             extra[name + "_error"] = f"{type(e).__name__}: {e}"[:300]
             traceback.print_exc(file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
         emit()
 
     # solver end-to-end first (needs f64)
@@ -884,7 +932,6 @@ def main():
     run("serve", sec_serve)
     run("serve_lu", sec_serve_lu)
     run("cholsol_vals", sec_cholsol_vals)
-    run("qrsol", sec_qrsol)
 
     # f32 kernel paths (Mosaic index plumbing wants i32)
     jax.config.update("jax_enable_x64", False)
@@ -934,8 +981,15 @@ def main():
     run("opchain", sec_opchain)
     run("sptrsv", sec_sptrsv)
 
+    # qrsol LAST: historically the slowest section (the 8000-scale MF QR
+    # pays plan build + chunked factor compiles on a cold cache); whatever
+    # budget remains is its bound, so it can never cost another metric
+    jax.config.update("jax_enable_x64", True)
+    run("qrsol", sec_qrsol)
+
     if failures:
         extra["failed_sections"] = ",".join(failures)
+    extra["bench_wall_s"] = round(time.perf_counter() - _START, 1)
     if not emit():
         # no headline landed at all — the round's perf capture failed
         print(json.dumps({

@@ -51,26 +51,59 @@ def _next_pow2(x: int) -> int:
 
 @dataclasses.dataclass
 class QRFrontBucket:
+    """One (level, padded-shape) batch of fronts.
+
+    Round 4: the big index streams (front assembly gathers, R/CB scatter
+    maps) are NOT materialized on the host — at qrsol_3 scale they came to
+    ~3 GB and uploading them through the remote-TPU tunnel took minutes
+    per process. Instead the bucket stores COMPACT descriptors (a few
+    scalars per (front, child) pair plus the irregular `r_dst`/`cpos`
+    lookups) and `_qr_front_body` EXPANDS them on device with iota /
+    searchsorted arithmetic inside the factor trace. Upload shrinks to
+    ~40 MB; the expansion itself is vector math fused into the program."""
+    F: int  # fronts in the bucket
     rp: int  # padded rows
     cp: int  # padded cols
-    a_pos: np.ndarray  # [F, rp, cp] A-value positions (-1 absent)
-    cb_src: np.ndarray  # gather: child CB values -> F slots (flat)
-    cb_f: np.ndarray
-    cb_r: np.ndarray
-    cb_c: np.ndarray
-    r_src_r: np.ndarray  # scatter: packed[f, r, c] -> Rx (flat lists)
-    r_src_c: np.ndarray
-    r_f: np.ndarray
+    kq: int  # min(rp, cp)
+    # A assembly: COO (front, row, col) <- Ax[pos], valid entries only
+    a_f: np.ndarray
+    a_r: np.ndarray
+    a_c: np.ndarray
+    a_pos: np.ndarray
+    # child-CB stacking: one descriptor per (front, child) pair; entry k of
+    # pair p maps cbx[offv[p]+k] -> Fm[t[p], roff[p]+k//L[p],
+    # cpos[cpos_off[p] + k%L[p]]]
+    cb_t: np.ndarray
+    cb_offv: np.ndarray
+    cb_roff: np.ndarray
+    cb_L: np.ndarray
+    cb_cpos_off: np.ndarray
+    cpos: np.ndarray  # concatenated child-column -> front-column maps
+    cb_cum: np.ndarray  # [P+1] cumulative nb*L
+    # R scatter: per-front rect ns x nc; r_dst holds the Rx position (dump
+    # slot rnz where masked: below-diagonal or absent)
+    r_t: np.ndarray
+    r_nc: np.ndarray
+    r_cum: np.ndarray  # [Pf+1] cumulative ns*nc
     r_dst: np.ndarray
-    out_src_r: np.ndarray  # scatter: packed rows ns.. -> cbx (this front's CB)
-    out_src_c: np.ndarray
-    out_f: np.ndarray
-    out_dst: np.ndarray
+    # CB output: per-front rect nb x L over ext columns; entry k of front
+    # descriptor p maps Rt[t, ns+k//L, ns+k%L] -> cbx[offv[p]+k] (dump when
+    # below the trapezoid)
+    o_t: np.ndarray
+    o_L: np.ndarray
+    o_ns: np.ndarray
+    o_offv: np.ndarray
+    o_cum: np.ndarray  # [Pf+1] cumulative nb*L
     # solve-side maps
     row_src: np.ndarray  # [F, rp] gather into concat([z(m), cbz]) (-1 pad)
     c_dst: np.ndarray  # [F, kq] scatter Qᵀz rows: global member col or -1
     cbz_dst: np.ndarray  # [F, kq] scatter Qᵀz rows into cbz (-1 none)
-    kq: int  # min(rp, cp)
+
+    @property
+    def dims(self):
+        """Static expansion sizes for `_qr_front_body`."""
+        return (self.F, self.rp, self.cp, int(self.cb_cum[-1]),
+                int(self.r_cum[-1]), int(self.o_cum[-1]))
 
 
 @dataclasses.dataclass
@@ -196,19 +229,34 @@ def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional[QRMFPlan]:
                         default=-1) + 1)
 
     # ---- R pattern (static CSC, diag LAST per column: usolve convention) --
-    Rcols: List[List[int]] = [[] for _ in range(n)]
+    # vectorized: per front the (row=mb[i], col=cols_all[j], j >= i) upper-
+    # trapezoid pairs, concatenated and counting-sorted into CSC (the
+    # per-element append/sort formulation measured minutes at 8000-scale)
+    r_rows_parts: List[np.ndarray] = []
+    r_cols_parts: List[np.ndarray] = []
     for fi in range(nf):
-        mb = members[fi]
-        cols_all = list(mb) + list(E[fi])
-        for i, scol in enumerate(mb):
-            for j in range(i, len(cols_all)):
-                Rcols[cols_all[j]].append(scol)
-    Rp = np.zeros(n + 1, dtype=np.int64)
-    for c in range(n):
-        Rcols[c] = sorted(Rcols[c])
-        Rp[c + 1] = Rp[c] + len(Rcols[c])
-    Ri = (np.concatenate([np.asarray(rc, dtype=np.int64) for rc in Rcols])
-          if n else np.zeros(0, np.int64))
+        mb = np.asarray(members[fi], dtype=np.int64)
+        ns_ = len(mb)
+        ext_ = E[fi]
+        cols_all = np.concatenate([mb, ext_]) if len(ext_) else mb
+        nc_ = len(cols_all)
+        if ns_ == 0:
+            continue
+        I = np.repeat(np.arange(ns_), nc_)
+        J = np.tile(np.arange(nc_), ns_)
+        keep = J >= I
+        r_rows_parts.append(mb[I[keep]])
+        r_cols_parts.append(cols_all[J[keep]])
+    if r_rows_parts:
+        r_rows = np.concatenate(r_rows_parts)
+        r_cols = np.concatenate(r_cols_parts)
+        order_ = np.lexsort((r_rows, r_cols))
+        Ri = r_rows[order_]
+        Rp = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(r_cols, minlength=n), out=Rp[1:])
+    else:
+        Ri = np.zeros(0, np.int64)
+        Rp = np.zeros(n + 1, dtype=np.int64)
     rnz = int(Rp[n])
     rkeys = np.repeat(np.arange(n, dtype=np.int64), np.diff(Rp)) * n + Ri
     rorder = np.argsort(rkeys, kind="stable")
@@ -242,10 +290,16 @@ def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional[QRMFPlan]:
         for (rp, cp), bf in sorted(bmap.items()):
             F = len(bf)
             kq = min(rp, cp)
-            a_pos = np.full((F, rp, cp), -1, dtype=np.int64)
-            cbs = ([], [], [], [])
-            rs = ([], [], [], [])
-            outs = ([], [], [], [])
+            a4 = ([], [], [], [])  # COO: f, r, c, pos (valid only)
+            cbd = ([], [], [], [], [])  # t, offv, roff, L, cpos_off
+            cpos_parts: List[np.ndarray] = []
+            cb_lens: List[int] = []
+            cpos_total = 0
+            rd = ([], [])  # t, nc
+            r_lens: List[int] = []
+            r_dst_parts: List[np.ndarray] = []
+            od = ([], [], [], [])  # t, L, ns, offv
+            o_lens: List[int] = []
             row_src = np.full((F, rp), -1, dtype=np.int64)
             c_dst = np.full((F, kq), -1, dtype=np.int64)
             cbz_dst = np.full((F, kq), -1, dtype=np.int64)
@@ -258,41 +312,55 @@ def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional[QRMFPlan]:
                 of = Of[fi]
                 no = len(of)
                 if no:
-                    a_pos[t, :no, :nc] = alookup(
-                        cols_all[None, :].repeat(no, 0),
-                        of[:, None].repeat(nc, 1))
-                # child CBs stacked below the original rows
+                    pos = alookup(cols_all[None, :].repeat(no, 0),
+                                  of[:, None].repeat(nc, 1))
+                    vr, vc = np.nonzero(pos >= 0)
+                    a4[0].append(np.full(len(vr), t, dtype=np.int64))
+                    a4[1].append(vr)
+                    a4[2].append(vc)
+                    a4[3].append(pos[vr, vc])
+                # child CBs stacked below the original rows: one compact
+                # descriptor per (front, child) pair, expanded on device
                 roff = no
-                colpos = {int(c_): j for j, c_ in enumerate(cols_all)}
+                ca_order = np.argsort(cols_all, kind="stable")
+                ca_sorted = cols_all[ca_order]
                 for ci in chunk_children[fi]:
                     ec = E[ci]
                     nb = int(cb[ci])
-                    for bi in range(nb):
-                        for j, c_ in enumerate(ec):
-                            cbs[0].append(int(cb_off[ci]) + bi * len(ec) + j)
-                            cbs[1].append(t)
-                            cbs[2].append(roff + bi)
-                            cbs[3].append(colpos[int(c_)])
+                    L = len(ec)
+                    if nb and L:
+                        # every child-CB column is a column of this front
+                        cposv = ca_order[np.searchsorted(ca_sorted, ec)]
+                        cbd[0].append(t)
+                        cbd[1].append(int(cb_off[ci]))
+                        cbd[2].append(roff)
+                        cbd[3].append(L)
+                        cbd[4].append(cpos_total)
+                        cpos_parts.append(cposv)
+                        cpos_total += L
+                        cb_lens.append(nb * L)
                     roff += nb
-                # R scatter: packed rows 0..ns-1
-                for i in range(ns):
-                    dsts = rlookup(cols_all[i:], np.full(nc - i, mb[i]))
-                    for j, d_ in enumerate(dsts):
-                        if d_ >= 0:
-                            rs[0].append(i)
-                            rs[1].append(i + j)
-                            rs[2].append(t)
-                            rs[3].append(int(d_))
-                # CB output: packed rows ns..ns+cb-1 over ext columns
+                # R scatter: per-front ns x nc rect, dump slot rnz below
+                # the trapezoid / outside the pattern
+                if ns:
+                    I = np.repeat(np.arange(ns), nc)
+                    J = np.tile(np.arange(nc), ns)
+                    d = rlookup(cols_all[J], mb[I])
+                    rd[0].append(t)
+                    rd[1].append(nc)
+                    r_lens.append(ns * nc)
+                    r_dst_parts.append(np.where((J >= I) & (d >= 0), d,
+                                                rnz))
+                # CB output: nb x L rect over ext columns (below-trapezoid
+                # lanes route to the cbx dump slot on device)
                 nb = int(cb[fi])
-                for bi in range(nb):
-                    for j in range(len(ext)):
-                        cj = ns + j
-                        if cj >= ns + bi:  # upper-trapezoid only
-                            outs[0].append(ns + bi)
-                            outs[1].append(cj)
-                            outs[2].append(t)
-                            outs[3].append(int(cb_off[fi]) + bi * len(ext) + j)
+                L = len(ext)
+                if nb and L:
+                    od[0].append(t)
+                    od[1].append(L)
+                    od[2].append(ns)
+                    od[3].append(int(cb_off[fi]))
+                    o_lens.append(nb * L)
                 # solve maps
                 row_src[t, :no] = of
                 roff = no
@@ -303,17 +371,31 @@ def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional[QRMFPlan]:
                     roff += nbc
                 c_dst[t, :ns] = mb
                 cbz_dst[t, ns : ns + nb] = cbz_off[fi] + np.arange(nb)
-            arr = lambda v: np.asarray(v, dtype=np.int64)
+
+            def cat(parts):
+                return (np.concatenate(parts) if parts
+                        else np.zeros(0, np.int64))
+
+            def i64(v):
+                return np.asarray(v, dtype=np.int64)
+
+            def cum(lens):
+                c_ = np.zeros(len(lens) + 1, dtype=np.int64)
+                np.cumsum(i64(lens), out=c_[1:])
+                return c_
+
             buckets.append(QRFrontBucket(
-                rp=rp, cp=cp,
-                a_pos=a_pos,
-                cb_src=arr(cbs[0]), cb_f=arr(cbs[1]), cb_r=arr(cbs[2]),
-                cb_c=arr(cbs[3]),
-                r_src_r=arr(rs[0]), r_src_c=arr(rs[1]), r_f=arr(rs[2]),
-                r_dst=arr(rs[3]),
-                out_src_r=arr(outs[0]), out_src_c=arr(outs[1]),
-                out_f=arr(outs[2]), out_dst=arr(outs[3]),
-                row_src=row_src, c_dst=c_dst, cbz_dst=cbz_dst, kq=kq,
+                F=F, rp=rp, cp=cp, kq=kq,
+                a_f=cat(a4[0]), a_r=cat(a4[1]), a_c=cat(a4[2]),
+                a_pos=cat(a4[3]),
+                cb_t=i64(cbd[0]), cb_offv=i64(cbd[1]), cb_roff=i64(cbd[2]),
+                cb_L=i64(cbd[3]), cb_cpos_off=i64(cbd[4]),
+                cpos=cat(cpos_parts), cb_cum=cum(cb_lens),
+                r_t=i64(rd[0]), r_nc=i64(rd[1]), r_cum=cum(r_lens),
+                r_dst=cat(r_dst_parts),
+                o_t=i64(od[0]), o_L=i64(od[1]), o_ns=i64(od[2]),
+                o_offv=i64(od[3]), o_cum=cum(o_lens),
+                row_src=row_src, c_dst=c_dst, cbz_dst=cbz_dst,
             ))
         level_buckets.append(buckets)
     if qt is not None:
@@ -323,62 +405,186 @@ def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional[QRMFPlan]:
                     q=qt)
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _qr_front_kernel(Rx, cbx, Ax, a_pos, cb_src, cb_f, cb_r, cb_c,
-                     r_src_r, r_src_c, r_f, r_dst,
-                     out_src_r, out_src_c, out_f, out_dst):
+def _expand(cumv, T):
+    """k -> (descriptor index p, offset within descriptor) for the flat
+    entry streams: the on-device inverse of the host-side concatenation."""
+    k = jax.lax.iota(jnp.int32, T)
+    p = jnp.searchsorted(cumv, k, side="right").astype(jnp.int32) - 1
+    return k, p, k - cumv[p]
+
+
+def _qr_front_body(Rx, cbx, Ax, dev, dims):
+    """One bucket's batched front factorization, traced.
+
+    `dev`: the compact descriptor arrays (`_prep_qr_indices`); `dims` the
+    STATIC expansion sizes (F, rp, cp, Tcb, Tr, Tout). The index streams
+    the gathers/scatters need are generated here with iota/searchsorted
+    arithmetic — nothing bigger than `r_dst`/`cpos` ever crosses the
+    host->device boundary (at qrsol_3 scale: ~40 MB uploaded vs the ~3 GB
+    the materialized streams measured)."""
+    (F, rp, cp, Tcb, Tr, Tout) = dims
+    (af, ar, ac, apos,
+     cb_t, cb_offv, cb_roff, cb_L, cb_cpos_off, cposv, cb_cum,
+     r_t, r_nc, r_cum, r_dst,
+     o_t, o_L, o_ns, o_offv, o_cum) = dev
     ft = Rx.dtype
-    Fm = jnp.where(a_pos >= 0, Ax[jnp.clip(a_pos, 0, Ax.shape[0] - 1)],
-                   jnp.zeros((), ft))
-    Fm = Fm.at[cb_f, cb_r, cb_c].add(cbx[cb_src], mode="drop")
+    Fm = (jnp.zeros((F, rp, cp), ft)
+          .at[af, ar, ac].set(Ax[apos], mode="drop"))
+    if Tcb:
+        _, p, off = _expand(cb_cum, Tcb)
+        L = cb_L[p]
+        bi = off // L
+        j = off - bi * L
+        Fm = Fm.at[cb_t[p], cb_roff[p] + bi,
+                   cposv[cb_cpos_off[p] + j]].add(
+            cbx[cb_offv[p] + off], mode="drop")
     # thin QR: Q [rp, kq] (all the columns the solve ever touches) and the
     # upper-trapezoid Rt [kq, cp] holding both R rows and the CB block
     Q, Rt = jax.lax.linalg.qr(Fm, full_matrices=False)
-    Rx = Rx.at[r_dst].set(Rt[r_f, r_src_r, r_src_c], mode="drop")
-    cbx = cbx.at[out_dst].set(Rt[out_f, out_src_r, out_src_c], mode="drop")
+    if Tr:
+        _, p, off = _expand(r_cum, Tr)
+        nc = r_nc[p]
+        i = off // nc
+        Rx = Rx.at[r_dst].set(Rt[r_t[p], i, off - i * nc], mode="drop")
+    if Tout:
+        _, p, off = _expand(o_cum, Tout)
+        L = o_L[p]
+        bi = off // L
+        j = off - bi * L
+        dst = jnp.where(j >= bi, o_offv[p] + off, cbx.shape[0] - 1)
+        cbx = cbx.at[dst].set(Rt[o_t[p], o_ns[p] + bi, o_ns[p] + j],
+                              mode="drop")
     return Rx, cbx, Q
 
 
+def _plan_dims(plan: QRMFPlan):
+    """Tuple of per-bucket static dims, flat bucket order (hashable — used
+    as a static jit argument)."""
+    d = plan.__dict__.get("_dims")
+    if d is None:
+        d = tuple(b.dims for lev in plan.levels for b in lev)
+        plan.__dict__["_dims"] = d
+    return d
+
+
 def _prep_qr_indices(plan: QRMFPlan):
+    def j32(t):
+        return jnp.asarray(np.asarray(t, np.int32))
+
     j = jnp.asarray
     for lev in plan.levels:
         for b in lev:
             if b.__dict__.get("_dev") is None:
-                b.__dict__["_dev"] = tuple(j(t) for t in (
-                    b.a_pos, b.cb_src, b.cb_f, b.cb_r, b.cb_c,
-                    b.r_src_r, b.r_src_c, b.r_f, b.r_dst,
-                    b.out_src_r, b.out_src_c, b.out_f, b.out_dst))
+                b.__dict__["_dev"] = tuple(j32(t) for t in (
+                    b.a_f, b.a_r, b.a_c, b.a_pos,
+                    b.cb_t, b.cb_offv, b.cb_roff, b.cb_L, b.cb_cpos_off,
+                    b.cpos, b.cb_cum,
+                    b.r_t, b.r_nc, b.r_cum, b.r_dst,
+                    b.o_t, b.o_L, b.o_ns, b.o_offv, b.o_cum))
             if b.__dict__.get("_sdev") is None:
                 b.__dict__["_sdev"] = (j(b.row_src), j(b.c_dst), j(b.cbz_dst))
+
+
+def _qr_factor_dtype():
+    """Front-kernel value dtype. f32 on accelerators (batched f64
+    lax.linalg.qr measured [7,2048,2048]: 3.0 s warm / 127 s compile vs
+    0.054 s / 14.5 s in f32 on v5e — f64 is software-emulated); f64 on CPU
+    for exact reference parity in tests."""
+    from ..config import config
+
+    opt = getattr(config, "qr_factor_dtype", "auto")
+    if opt == "float64":
+        return jnp.float64
+    if opt == "float32":
+        return jnp.float32
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
+def _bucket_entries(b: QRFrontBucket) -> int:
+    F, rp, cp, tcb, tr, tout = b.dims
+    return int(F * rp * cp + 4 * tcb + 4 * tr + 4 * tout)
+
+
+def _qr_plan_index_entries(plan: QRMFPlan) -> int:
+    return sum(_bucket_entries(b) for lev in plan.levels for b in lev)
+
+
+# A chunk's inlined batched-QR count also bounds its compile size (each
+# distinct front shape expands into a blocked Householder program).
+_CHUNK_BUCKETS = 16
+
+
+def _qr_chunks(plan: QRMFPlan):
+    """Partition the flat bucket list into compile-bounded chunks.
+
+    One program over ALL buckets at qrsol_3 scale (81 buckets, 370M index
+    entries) compiled for >30 min through the remote TPU tunnel; chunks
+    bounded by frontal.fuse_entry_cap() keep each program's compile
+    tractable and persistent-cacheable while still amortizing launch
+    latency over many fronts. Sequential chunk execution preserves the
+    level order, so inter-front dependencies are safe at any cut."""
+    ch = plan.__dict__.get("_chunks")
+    if ch is None:
+        from .frontal import fuse_entry_cap
+
+        cap = fuse_entry_cap()
+        flat = [b for lev in plan.levels for b in lev]
+        ch, cur, acc = [], [], 0
+        for bi, b in enumerate(flat):
+            sz = _bucket_entries(b)
+            if cur and (acc + sz > cap or len(cur) >= _CHUNK_BUCKETS):
+                ch.append(cur)
+                cur, acc = [], 0
+            cur.append(bi)
+            acc += sz
+        if cur:
+            ch.append(cur)
+        plan.__dict__["_chunks"] = ch
+    return ch
+
+
+@partial(jax.jit, donate_argnums=(1, 2), static_argnums=(4,))
+def _qr_chunk_run(Ax, Rx, cbx, devs, dimss):
+    # descriptor tensors flow in as ARGUMENTS (a pytree), not closure
+    # captures — captured jnp arrays are baked into the executable as
+    # constants, slowing compiles badly; `dimss` (per-bucket static
+    # expansion sizes) rides as a static argument
+    qs = []
+    for dev, dims in zip(devs, dimss):
+        Rx, cbx, Q = _qr_front_body(Rx, cbx, Ax, dev, dims)
+        qs.append(Q)
+    return Rx, cbx, tuple(qs)
 
 
 def qr_mf(a: Sprs, s: Symb, plan: QRMFPlan):
     """Factor on device; caches per-front Q blocks + R values on the plan.
 
+    TPU-first shape (round 4): fronts factor in `_qr_factor_dtype()` (f32
+    on accelerators, f64 on CPU), and the tree runs as CHUNKED fused
+    programs (`_qr_chunks`) instead of one monolithic trace. The qrsol
+    drivers recover f64 accuracy with fused refinement when the factor is
+    f32 (see `qrsol_mf_ls` / `qrsol_mf_mn`).
+
     Returns (Rp, Ri, Rx) — R in static CSC (diag last per column)."""
     _prep_qr_indices(plan)
-    Ax = jnp.asarray(a.x[: a.nnz()])
-    fn = plan.__dict__.get("_factor_jit")
-    if fn is None:
-        # index tensors flow in as ARGUMENTS (a pytree), not closure
-        # captures — captured jnp arrays are baked into the executable as
-        # constants (GBs at 8000-scale; measured), slowing compiles badly
-        def run(Ax, devs):
-            Rx = jnp.zeros(plan.rnz + 1, dtype=Ax.dtype)
-            cbx = jnp.zeros(plan.cb_total + 1, dtype=Ax.dtype)
-            qs = []
-            for dev in devs:
-                Rx, cbx, Q = _qr_front_kernel(Rx, cbx, Ax, *dev)
-                qs.append(Q)
-            return Rx, tuple(qs)
-
-        fn = jax.jit(run)
-        plan.__dict__["_factor_jit"] = fn
-    devs = [b.__dict__["_dev"] for lev in plan.levels for b in lev]
-    Rx, qs = fn(Ax, devs)
-    plan.__dict__["_cache_q"] = qs
+    fdt = _qr_factor_dtype()
+    nz = a.nnz()
+    Ax = jnp.asarray(a.x[:nz], fdt)
+    # refreshed on every (re)factor: the drivers' fused refinement computes
+    # the f64 residual against the CURRENT values (sym-reuse safe)
+    plan.__dict__["_resid_ax"] = jnp.asarray(a.x[:nz], jnp.float64)
+    flat = [b.__dict__["_dev"] for lev in plan.levels for b in lev]
+    dims = _plan_dims(plan)
+    Rx = jnp.zeros(plan.rnz + 1, dtype=fdt)
+    cbx = jnp.zeros(plan.cb_total + 1, dtype=fdt)
+    qs: list = []
+    for ck in _qr_chunks(plan):
+        Rx, cbx, qck = _qr_chunk_run(Ax, Rx, cbx, [flat[i] for i in ck],
+                                     tuple(dims[i] for i in ck))
+        qs.extend(qck)
+    plan.__dict__["_cache_q"] = tuple(qs)
     plan.__dict__["_cache_rx"] = Rx
-    return plan.Rp, plan.Ri, np.asarray(Rx[: plan.rnz])
+    return plan.Rp, plan.Ri, np.asarray(Rx[: plan.rnz], np.float64)
 
 
 def _qt_apply(plan: QRMFPlan, z, qs, sdevs):
@@ -435,72 +641,246 @@ def _q_apply(plan: QRMFPlan, w, qs, sdevs):
     return z[: plan.m]
 
 
+def _use_pallas_sweeps(n: int, fdt) -> bool:
+    """Route the solve's R sweeps through the Pallas VMEM kernel: the R
+    schedule is DEEP (qrsol_3: nlev=2420) and the XLA level loop pays
+    per-level padded work — measured ~0.5 s/sweep vs ~30 ms for the
+    Pallas kernel. f32 factors on TPU only (serve_mixed == "force" runs
+    the interpreter for CPU tests, mirroring the serve handles)."""
+    from ..config import config
+    from ..ops.sptrsv_pallas import pallas_sweep_available
+
+    if fdt != jnp.float32 or not config.use_pallas:
+        return False
+    if not pallas_sweep_available(n, 1, np.float32):
+        return False
+    return jax.default_backend() == "tpu" or config.serve_mixed == "force"
+
+
+def _pallas_sweep_args(tp):
+    """Device-resident schedule streams for `_sweep_call`, cached on the
+    TriPlan. Value streams stay POSITIONS (epos/cdiag): ev/dv are gathered
+    from the live Rx inside the solve program, so refactoring with new
+    values never invalidates these."""
+    cached = tp.__dict__.get("_qr_pal_args")
+    if cached is None:
+        from ..ops.sptrsv_pallas import _streams
+
+        st = _streams(tp)
+        j = jnp.asarray
+        cached = dict(eoff=j(st["eoff"]), coff=j(st["coff"]),
+                      epos=j(st["epos"]), erow=j(st["erow"]),
+                      ecol=j(st["ecol"]), eslot=j(st["eslot"]),
+                      cdiag=j(st["cdiag"]), cid=j(st["cid"]))
+        tp.__dict__["_qr_pal_args"] = cached
+    return cached
+
+
+def _r_sweeps(plan, Rv, pal, fdt, specs):
+    """Sweep closures over the live R values for the solve programs.
+
+    specs: [(TriPlan, tridev, pal_args_or_None, scatter_form), ...];
+    every returned closure maps [n, B] -> [n, B] in the factor dtype.
+    Pallas VMEM kernels when `pal` — the XLA level loop pays nlev padded
+    steps per sweep (~0.5 s on qrsol_3's nlev=2420 R schedule vs ~30 ms
+    for the kernel); ev/dv are gathered from the live Rv inside the
+    program, so refactored values flow through without rebuilding."""
+    out = []
+    if pal:
+        from ..ops.sptrsv_pallas import _sweep_call
+
+        n_pad = -(-(plan.n + 1) // 8) * 8
+        interpret = jax.default_backend() != "tpu"
+        Rf = Rv.astype(jnp.float32)
+        for tp, tridev, args, scatter in specs:
+            wp = max(-(-tp.wmax // 8) * 8, 8)
+            with jax.enable_x64(False):
+                call = _sweep_call(tp.nlev, n_pad, 1, wp, scatter,
+                                   interpret)
+
+            def sweep(c, call=call, args=args, scatter=scatter):
+                ev = Rf[args["epos"]]
+                dv = Rf[args["cdiag"]]
+                eb = args["ecol"] if scatter else args["eslot"]
+                Xp = (jnp.zeros((n_pad, 1), jnp.float32)
+                      .at[: plan.n].set(c.astype(jnp.float32)))
+                with jax.enable_x64(False):
+                    o = call(args["eoff"], args["coff"], ev, args["erow"],
+                             eb, dv, args["cid"], Xp)
+                return o[: plan.n]
+
+            out.append(sweep)
+    else:
+        from ..solve import _tri_sweep_multi
+
+        for tp, tridev, args, scatter in specs:
+
+            def sweep(c, tp=tp, tridev=tridev, scatter=scatter):
+                return _tri_sweep_multi(Rv, c.astype(fdt), *tridev,
+                                        tp.nlev, tp.emax, tp.wmax,
+                                        plan.n, scatter)
+
+            out.append(sweep)
+    return out
+
+
+def _resid_pattern(plan: QRMFPlan, A: Sprs):
+    """Cached (rows, colind) int device arrays of the FACTORED matrix's
+    pattern, for the fused f64 residual SpMV inside the solve programs."""
+    idx = plan.__dict__.get("_resid_pat")
+    if idx is None:
+        nz = A.nnz()
+        p = np.asarray(A.p[: A.n + 1], np.int64)
+        colind = np.repeat(np.arange(A.n, dtype=np.int64), np.diff(p))
+        idx = (jnp.asarray(np.asarray(A.i[:nz], np.int64)),
+               jnp.asarray(colind))
+        plan.__dict__["_resid_pat"] = idx
+    return idx
+
+
 def qrsol_mf_ls(a: Sprs, s: Symb, plan: QRMFPlan, b: np.ndarray) -> np.ndarray:
     """Least-squares solve (m >= n): x = R^{-1} (Qᵀ b)[:n], then ipvec(q).
 
     Requires a preceding qr_mf. Returns x [n] in the PERMUTED column order
-    (the driver applies s.q)."""
+    (the driver applies s.q). When the factor is f32 (accelerator default,
+    see `_qr_factor_dtype`) the program appends `config.qr_refine` fused
+    CSNE refinement steps xp += R⁻¹R⁻ᵀ·(A'(b - A x))_q — corrected
+    seminormal equations, Björck. The gradient A'(b - Ax) is computed in
+    f64 on device, so unlike Qᵀ-based refinement there is no
+    eps32·‖r*‖/σmin floor from the nonzero optimal LS residual; the f32
+    sweeps contract the error by ~κ²·eps32 per step. The whole solve stays
+    ONE launch."""
+    from ..config import config
     from ..solve import tri_plan, _tri_sweep_multi, _plan_dev
 
     qs = plan.__dict__.get("_cache_q")
     if qs is None:
         raise RuntimeError("qrsol_mf_ls requires a preceding qr_mf")
-    fn = plan.__dict__.get("_solve_jit")
-    if fn is None:
+    Rx = plan.__dict__["_cache_rx"]
+    fdt = Rx.dtype
+    nref = 0 if fdt == jnp.float64 else max(0, int(config.qr_refine))
+    if plan.__dict__.get("_rtri") is None:
         rmat = Sprs(plan.rnz, plan.n, plan.n, plan.Rp, plan.Ri,
                     np.zeros(plan.rnz))
         tp = tri_plan(rmat, 1)
         _plan_dev(tp)
         plan.__dict__["_rtri"] = tp
+    if nref and plan.__dict__.get("_rtri_t") is None:
+        rmat = Sprs(plan.rnz, plan.n, plan.n, plan.Rp, plan.Ri,
+                    np.zeros(plan.rnz))
+        tp = tri_plan(rmat, 3)  # utsolve for the R⁻ᵀ half of CSNE
+        _plan_dev(tp)
+        plan.__dict__["_rtri_t"] = tp
+    pal = _use_pallas_sweeps(plan.n, fdt)
+    key = f"_solve_jit_{np.dtype(fdt)}_{nref}_{pal}"
+    fn = plan.__dict__.get(key)
+    if fn is None:
 
-        def run(z, Rx, qs_, sdevs, tridev):
+        def run(b64, Rx, qs_, sdevs, tridev, tridev_t, pu, pt, ai, acol,
+                ax):
             tp_ = plan.__dict__["_rtri"]
-            c = _qt_apply(plan, z, qs_, sdevs)
-            return _tri_sweep_multi(Rx[: plan.rnz], c, *tridev,
-                                    tp_.nlev, tp_.emax, tp_.wmax, plan.n,
-                                    True)
+            tpt = plan.__dict__.get("_rtri_t")
+            Rv = Rx[: plan.rnz]
+            specs = [(tp_, tridev, pu, True)]
+            if nref:
+                specs.append((tpt, tridev_t, pt, False))
+            sweeps = _r_sweeps(plan, Rv, pal, fdt, specs)
+            usolve = sweeps[0]
+            utsolve = sweeps[1] if nref else None
+
+            c = _qt_apply(plan, b64.astype(fdt)[:, None], qs_, sdevs)
+            xp = usolve(c)[:, 0].astype(jnp.float64)
+            for _ in range(nref):
+                r = b64 - (jnp.zeros(plan.m, jnp.float64)
+                           .at[ai].add(ax * xp[acol]))
+                g = (jnp.zeros(plan.n, jnp.float64)
+                     .at[acol].add(ax * r[ai]))  # (A'r) in permuted cols
+                dx = usolve(utsolve(g[:, None]))[:, 0]
+                xp = xp + dx.astype(jnp.float64)
+            return xp
 
         fn = jax.jit(run)
-        plan.__dict__["_solve_jit"] = fn
-    Rx = plan.__dict__["_cache_rx"]
-    z = jnp.asarray(np.asarray(b, dtype=np.float64)[:, None])
+        plan.__dict__[key] = fn
+    pu = _pallas_sweep_args(plan.__dict__["_rtri"]) if pal else None
+    pt = (_pallas_sweep_args(plan.__dict__["_rtri_t"])
+          if pal and nref else None)
+    ai, colind = _resid_pattern(plan, a)
+    # x lives in PERMUTED column order: x_orig[c] = xp[jq[c]] with jq the
+    # inverse of s.q, folded into the gather index once per plan
+    acol = plan.__dict__.get("_resid_acol")
+    if acol is None:
+        q = (np.asarray(s.q, np.int64) if s.q is not None
+             else np.arange(a.n, dtype=np.int64))
+        jq = np.empty(a.n, np.int64)
+        jq[q] = np.arange(a.n)
+        acol = jnp.asarray(jq[np.asarray(colind)])
+        plan.__dict__["_resid_acol"] = acol
+    z = jnp.asarray(np.asarray(b, dtype=np.float64))
     sdevs = [b_.__dict__["_sdev"] for lev in plan.levels for b_ in lev]
-    x = fn(z, Rx, qs, sdevs, _plan_dev(plan.__dict__["_rtri"]))
-    return np.asarray(x[:, 0])
+    tridev_t = (_plan_dev(plan.__dict__["_rtri_t"]) if nref
+                else _plan_dev(plan.__dict__["_rtri"]))
+    x = fn(z, Rx, qs, sdevs, _plan_dev(plan.__dict__["_rtri"]), tridev_t,
+           pu, pt, ai, acol, plan.__dict__["_resid_ax"])
+    return np.asarray(x)
 
 
-def qrsol_mf_mn(a: Sprs, s: Symb, plan: QRMFPlan, b: np.ndarray) -> np.ndarray:
+def qrsol_mf_mn(at: Sprs, s: Symb, plan: QRMFPlan, b: np.ndarray) -> np.ndarray:
     """Minimum-norm solve through the tree built on Aᵀ (reference
     underdetermined branch, src/lib.rs:943-955): x = Q [R^{-T} b_q ; 0].
 
     `plan` is the QR plan of Aᵀ (so plan.m = original n); `b` has length
-    plan.n (= original m). Returns x [plan.m] in original row order."""
+    plan.n (= original m). Returns x [plan.m] in original row order. When
+    the factor is f32 the program appends `config.qr_refine` fused
+    refinement steps x += S((b - A x)_q), keeping x in range(Aᵀ) (S maps
+    through Q's columns) so the minimum-norm property is preserved."""
+    from ..config import config
     from ..solve import tri_plan, _tri_sweep_multi, _plan_dev
 
     qs = plan.__dict__.get("_cache_q")
     if qs is None:
         raise RuntimeError("qrsol_mf_mn requires a preceding qr_mf")
-    fn = plan.__dict__.get("_solve_mn_jit")
-    if fn is None:
+    Rx = plan.__dict__["_cache_rx"]
+    fdt = Rx.dtype
+    nref = 0 if fdt == jnp.float64 else max(0, int(config.qr_refine))
+    if plan.__dict__.get("_rtri_t") is None:
         rmat = Sprs(plan.rnz, plan.n, plan.n, plan.Rp, plan.Ri,
                     np.zeros(plan.rnz))
         tp = tri_plan(rmat, 3)  # utsolve: Rᵀ y = c
         _plan_dev(tp)
         plan.__dict__["_rtri_t"] = tp
+    pal = _use_pallas_sweeps(plan.n, fdt)
+    key = f"_solve_mn_jit_{np.dtype(fdt)}_{nref}_{pal}"
+    fn = plan.__dict__.get(key)
+    if fn is None:
 
-        def run(c, Rx, qs_, sdevs, tridev):
+        def run(b64, Rx, qs_, sdevs, tridev, pt, ati, acol, ax, qd):
             tp_ = plan.__dict__["_rtri_t"]
-            y = _tri_sweep_multi(Rx[: plan.rnz], c, *tridev,
-                                 tp_.nlev, tp_.emax, tp_.wmax, plan.n, False)
-            return _q_apply(plan, y, qs_, sdevs)
+            utsolve, = _r_sweeps(plan, Rx[: plan.rnz], pal, fdt,
+                                 [(tp_, tridev, pt, False)])
+
+            def S(rq):
+                y = utsolve(rq.astype(fdt)[:, None])
+                return _q_apply(plan, y, qs_, sdevs)[:, 0]
+
+            x = S(b64[qd]).astype(jnp.float64)
+            for _ in range(nref):
+                # A = atᵀ: (A x)[c] = Σ_{k ∈ at col c} at.x[k]·x[at.i[k]]
+                y = (jnp.zeros(plan.n, jnp.float64)
+                     .at[acol].add(ax * x[ati]))
+                x = x + S((b64 - y)[qd]).astype(jnp.float64)
+            return x
 
         fn = jax.jit(run)
-        plan.__dict__["_solve_mn_jit"] = fn
-    bq = np.asarray(b, dtype=np.float64)
-    if plan.q is not None:
-        bq = bq[np.asarray(plan.q, dtype=np.int64)]
-    Rx = plan.__dict__["_cache_rx"]
+        plan.__dict__[key] = fn
+    pt = _pallas_sweep_args(plan.__dict__["_rtri_t"]) if pal else None
+    ati, acol = _resid_pattern(plan, at)
+    qd = plan.__dict__.get("_resid_q")
+    if qd is None:
+        qd = jnp.asarray(np.asarray(plan.q, np.int64) if plan.q is not None
+                         else np.arange(plan.n, dtype=np.int64))
+        plan.__dict__["_resid_q"] = qd
     sdevs = [b_.__dict__["_sdev"] for lev in plan.levels for b_ in lev]
-    x = fn(jnp.asarray(bq[:, None]), Rx, qs, sdevs,
-           _plan_dev(plan.__dict__["_rtri_t"]))
-    return np.asarray(x[:, 0])
+    x = fn(jnp.asarray(np.asarray(b, dtype=np.float64)), Rx, qs, sdevs,
+           _plan_dev(plan.__dict__["_rtri_t"]), pt,
+           ati, acol, plan.__dict__["_resid_ax"], qd)
+    return np.asarray(x)

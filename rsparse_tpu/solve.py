@@ -381,7 +381,7 @@ def _chol_vals_setup(a: Sprs, Ax, B, order: int, sym: Optional[Symb]):
     Returns (s, mfp_or_None, AxK, Bm, pv); mfp is None when the batch must
     run the per-instance tier (small problem, host backend, plan beyond
     the fuse cap)."""
-    from .factor.frontal import (FUSE_ENTRY_CAP, _plan_index_entries,
+    from .factor.frontal import (fuse_entry_cap, _plan_index_entries,
                                  build_mf_plan)
     from .symbolic import schol, _symperm_host
 
@@ -410,7 +410,7 @@ def _chol_vals_setup(a: Sprs, Ax, B, order: int, sym: Optional[Symb]):
     pv = (np.asarray(s.pinv, dtype=np.int64) if s.pinv is not None
           else np.arange(n))
     fuse_ok = (mfp is not None and mfp.__dict__.setdefault(
-        "_fuse_ok", _plan_index_entries(mfp) <= FUSE_ENTRY_CAP))
+        "_fuse_ok", _plan_index_entries(mfp) <= fuse_entry_cap()))
     if not fuse_ok or config.backend == "host":
         mfp = None
     return s, mfp, AxK, Bm, pv
@@ -615,7 +615,7 @@ def _lu_vals_setup(a: Sprs, Ax, B, order: int, sym: Optional[Symb]):
     """Shared validation + analysis + MF-plan resolution for the batched-
     values LU drivers. Returns (s, plan_or_None, AxK, Bm); plan is None
     when the per-instance tier must run."""
-    from .factor.frontal import FUSE_ENTRY_CAP
+    from .factor.frontal import fuse_entry_cap
     from .factor.frontal_lu import _lu_plan_index_entries
     from .symbolic import sqr
 
@@ -647,7 +647,7 @@ def _lu_vals_setup(a: Sprs, Ax, B, order: int, sym: Optional[Symb]):
     fuse_ok = (plan is not None and plan != "unset"
                and plan.__dict__.setdefault(
                    "_fuse_ok", _lu_plan_index_entries(plan)
-                   <= FUSE_ENTRY_CAP))
+                   <= fuse_entry_cap()))
     if plan == "unset" or not fuse_ok or config.backend == "host":
         plan = None
     return s, plan, AxK, Bm
@@ -810,13 +810,14 @@ def _qr_vals_one(plan, ls, tp_, devs_in, sdevs_in, tridev, ax, z):
     Q-apply for minimum-norm)."""
     import jax.numpy as jnp
 
-    from .factor.frontal_qr import _q_apply, _qr_front_kernel, _qt_apply
+    from .factor.frontal_qr import (_plan_dims, _q_apply, _qr_front_body,
+                                    _qt_apply)
 
     Rx = jnp.zeros(plan.rnz + 1, dtype=ax.dtype)
     cbx = jnp.zeros(plan.cb_total + 1, dtype=ax.dtype)
     qs = []
-    for dev in devs_in:
-        Rx, cbx, Q = _qr_front_kernel(Rx, cbx, ax, *dev)
+    for dev, dims in zip(devs_in, _plan_dims(plan)):
+        Rx, cbx, Q = _qr_front_body(Rx, cbx, ax, dev, dims)
         qs.append(Q)
     qs = tuple(qs)
     if ls:
@@ -894,10 +895,18 @@ def qrsol_vals(a: Sprs, Ax, B, order: int = 2, *,
         except Exception:
             plan = None
         s._mf_qr_plan = plan
-    # no FUSE_ENTRY_CAP here: qr_mf itself fuses the whole tree in one jit
-    # by design (dense lax.qr fronts compile cheaply per index entry,
-    # measured fine at the 8000^2 qrsol_3 scale), so the vmapped variant
-    # follows the same policy.
+    # the vmapped variant fuses the whole tree in one program, so it gets
+    # the same entry-cap gate as the chol/lu vals drivers — beyond it the
+    # K-batched trace compiles for too long even chunked, and the
+    # per-instance tier (which runs the chunked qr_mf path) takes over
+    if plan is not None and plan != "unset":
+        from .factor.frontal import fuse_entry_cap
+        from .factor.frontal_qr import _qr_plan_index_entries
+
+        if not plan.__dict__.setdefault(
+                "_vals_fuse_ok",
+                _qr_plan_index_entries(plan) <= fuse_entry_cap()):
+            plan = None
     if plan is None or plan == "unset" or config.backend == "host":
         # per-instance reference-shaped solves (small / inapplicable tier)
         out = np.empty((K, n), dtype=np.float64)
@@ -2034,7 +2043,7 @@ def _lu_one_shot(a: Sprs, s, Bm: np.ndarray, tol: float, steps: int = 4):
     import jax
     import jax.numpy as jnp
 
-    from .factor.frontal import FUSE_ENTRY_CAP
+    from .factor.frontal import fuse_entry_cap
     from .factor.frontal_lu import (
         _attach_inners, _collect_compose_dev, _collect_lu_dev,
         _collect_lu_sdev, _compose_elim_dev, _lu_factor_dtype,
@@ -2054,7 +2063,7 @@ def _lu_one_shot(a: Sprs, s, Bm: np.ndarray, tol: float, steps: int = 4):
     if mfp is None:
         return None
     if not mfp.__dict__.setdefault(
-            "_fuse_ok", _lu_plan_index_entries(mfp) <= FUSE_ENTRY_CAP):
+            "_fuse_ok", _lu_plan_index_entries(mfp) <= fuse_entry_cap()):
         return None
     _prep_lu_factor_indices(mfp)
     _prep_lu_solve_indices(mfp)
@@ -2076,7 +2085,9 @@ def _lu_one_shot(a: Sprs, s, Bm: np.ndarray, tol: float, steps: int = 4):
     Ax = jnp.asarray(ax_host) if fdt is None else jnp.asarray(ax_host, fdt)
     tolv = jnp.asarray(float(tol), Ax.dtype)
     qv = jnp.asarray(np.asarray(s.q, np.int64)) if s.q is not None else None
-    fn = mfp.__dict__.get("_oneshot_jit")
+    # keyed on `steps`: it is baked into the trace (refinement loop length),
+    # so a handle cached for steps=4 must not serve a steps=6 call
+    fn = mfp.__dict__.get(f"_oneshot_jit_{steps}")
     if fn is None:
         def run(Ax, tolv, B, dev, sdev, cdev, Mi_, Mj_, Mx_, *qopt):
             q_ = qopt[0] if qopt else None
@@ -2100,7 +2111,7 @@ def _lu_one_shot(a: Sprs, s, Bm: np.ndarray, tol: float, steps: int = 4):
             return X, stats, rmax, xmax, pinv, cache
 
         fn = jax.jit(run)
-        mfp.__dict__["_oneshot_jit"] = fn
+        mfp.__dict__[f"_oneshot_jit_{steps}"] = fn
     args = [Ax, tolv, jnp.asarray(Bm), dev, sdev, cdev, Mi, Mj, Mx]
     if qv is not None:
         args.append(qv)
@@ -2321,7 +2332,7 @@ def _chol_one_shot(a: Sprs, s, Bm: np.ndarray, steps: int = 4):
     import jax.numpy as jnp
 
     from .errors import NotPositiveDefiniteError
-    from .factor.frontal import (FUSE_ENTRY_CAP, _chol_factor_dtype,
+    from .factor.frontal import (fuse_entry_cap, _chol_factor_dtype,
                                  _chol_mf_values, _collect_chol_dev,
                                  _plan_index_entries, _prep_factor_indices,
                                  _prep_solve_indices, _solve_mf_dev,
@@ -2339,7 +2350,7 @@ def _chol_one_shot(a: Sprs, s, Bm: np.ndarray, steps: int = 4):
     if mfp is None:
         return None
     if not mfp.__dict__.setdefault(
-            "_fuse_ok", _plan_index_entries(mfp) <= FUSE_ENTRY_CAP):
+            "_fuse_ok", _plan_index_entries(mfp) <= fuse_entry_cap()):
         return None
     _prep_factor_indices(mfp)
     _prep_solve_indices(mfp)
@@ -2355,7 +2366,8 @@ def _chol_one_shot(a: Sprs, s, Bm: np.ndarray, steps: int = 4):
         mx_h = ax[mxmap]
     pv = (jnp.asarray(np.asarray(s.pinv, np.int64))
           if s.pinv is not None else None)
-    fn = mfp.__dict__.get("_oneshot_jit")
+    # keyed on `steps` (baked into the trace) — see _lu_one_shot
+    fn = mfp.__dict__.get(f"_oneshot_jit_{steps}")
     if fn is None:
         def run(Cx, B, dev, Mi_, Mj_, Mx_, *popt):
             p_ = popt[0] if popt else None
@@ -2406,7 +2418,7 @@ def _chol_one_shot(a: Sprs, s, Bm: np.ndarray, steps: int = 4):
             return X, dmin, rmax, jnp.max(jnp.abs(X)), cache
 
         fn = jax.jit(run)
-        mfp.__dict__["_oneshot_jit"] = fn
+        mfp.__dict__[f"_oneshot_jit_{steps}"] = fn
 
     Bd = jnp.asarray(Bm)
     Mx = jnp.asarray(mx_h)
