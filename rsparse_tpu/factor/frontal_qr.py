@@ -119,9 +119,17 @@ class QRMFPlan:
     q: Optional[np.ndarray]  # composed column order (committed to s.q)
 
 
-def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 64) -> Optional[QRMFPlan]:
+def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 256) -> Optional[QRMFPlan]:
     """Build the multifrontal QR plan; composes s.q with the etree postorder
-    (committed only on success). Returns None when not applicable."""
+    (committed only on success). Returns None when not applicable.
+
+    smax (chunk-merge bound for the column etree) trades front count
+    against R fill. Measured on qrsol_3 (v5e, warm): smax=64 gives 81
+    buckets / 47 levels and a 3.1 s factor; smax=256 gives 44 buckets /
+    18 levels and a 1.64 s factor (fewer batched-QR calls, each
+    MXU-denser) at +19% rnz — the device factor then beats the host
+    C++ engine (2.9 s). 384/512 only shave ~0.1 s more (est) for more
+    fill, so 256 is the default."""
     from ..ops.plan import col_ids
 
     m, n = a.m, a.n

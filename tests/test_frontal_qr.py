@@ -134,13 +134,14 @@ def test_qrsol_3_golden_device_only(monkeypatch):
     assert_eq_f_vec(x[: len(g["x"])], g["x"], g["tol"])
 
 
-def test_qrsol_sym_reuse_refreshed_values():
+def test_qrsol_sym_reuse_refreshed_values(monkeypatch):
     """sym= reuse is per sparsity PATTERN: refreshing a's values must
     refactor the cached MF tree, not silently solve with the stale factor
     (regression: _qr_mf_try cached _cache_q without a value fingerprint)."""
     import numpy as np
 
-    a, _ = _sparse_ls(2000, 1600, 9000, seed=9)  # MF-scale tall matrix
+    monkeypatch.setattr(rs.config, "mf_min_n", 600)  # small + MF tier
+    a, _ = _sparse_ls(900, 700, 4200, seed=9)
     rng = np.random.default_rng(10)
     b = rng.standard_normal(a.m)
     s = rs.sqr(a, 2, True)

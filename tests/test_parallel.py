@@ -194,11 +194,15 @@ def test_dist_lusol_vals_matches_single_chip():
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
 
 
-def test_dist_qrsol_vals_both_branches():
+def test_dist_qrsol_vals_both_branches(monkeypatch):
+    # small problem + lowered MF threshold — this test compiles FOUR
+    # vmapped whole-tree programs (dist + oracle, both branches); at
+    # 2000x1600 it measured 3285s of the suite wall
+    monkeypatch.setattr(rs.config, "mf_min_n", 600)
     nd = len(jax.devices())
     mesh = par.make_mesh(data=nd)
     rng = np.random.default_rng(9)
-    m, n = 2000, 1600
+    m, n = 900, 700
     d = np.zeros((m, n))
     for i in range(n):
         d[i, i] = 5.0 + rng.random()

@@ -149,12 +149,13 @@ def test_dist_cholsol_vals_forced_redo(monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
 
 
-def test_qrsol_vals_minimum_norm_returns_writable():
+def test_qrsol_vals_minimum_norm_returns_writable(monkeypatch):
     """The min-norm MF branch used to return the runtime's read-only
     view of the device result straight to the caller."""
     from test_solve_multi import _tall_fixture
 
-    a, _ = _tall_fixture(K=2, seed=9)
+    monkeypatch.setattr(rs.config, "mf_min_n", 600)  # small + MF tier
+    a, _ = _tall_fixture(n=700, m=900, nnz=5200, K=2, seed=9)
     at = rs.ops.transpose(a)  # wide: m < n -> minimum-norm branch
     assert at.m >= rs.config.mf_min_n, "must exercise the MF tier"
     nz = at.nnz()

@@ -37,28 +37,30 @@ def f32_qr():
     config.qr_factor_dtype = "auto"
 
 
-def test_qrsol_mf_ls_f32_csne_reaches_f64(f32_qr):
+def test_qrsol_mf_ls_f32_csne_reaches_f64(f32_qr, monkeypatch):
     """f32 fronts + fused CSNE refinement must match lstsq to f64 levels
     (the Q^T-based refinement it replaces stalled at ~2e-6: the optimal LS
     residual is NONZERO, so S(r*) ~ eps32*||r*||/sigma_min floors it)."""
+    monkeypatch.setattr(config, "mf_min_n", 600)
     rng = np.random.default_rng(0)
-    A = _mk(1900, 1600, rng)
-    b = rng.standard_normal(1900)
+    A = _mk(900, 760, rng)
+    b = rng.standard_normal(900)
     want = np.linalg.lstsq(A.to_dense_np(), b, rcond=None)[0]
     s = sqr(A, 2, True)
-    x = np.asarray(rs.qrsol(A, list(b), 2, sym=s))[:1600]
+    x = np.asarray(rs.qrsol(A, list(b), 2, sym=s))[:760]
     assert s._mf_qr_plan is not None  # the MF device path actually ran
     err = np.abs(x - want).max() / max(1.0, np.abs(want).max())
     assert err < 1e-10, err
 
 
-def test_qrsol_mf_mn_f32_refine_reaches_f64(f32_qr):
+def test_qrsol_mf_mn_f32_refine_reaches_f64(f32_qr, monkeypatch):
+    monkeypatch.setattr(config, "mf_min_n", 600)
     rng = np.random.default_rng(1)
-    A = _mk(1600, 1900, rng)
-    b = rng.standard_normal(1600)
+    A = _mk(760, 900, rng)
+    b = rng.standard_normal(760)
     Ad = A.to_dense_np()
     want = np.linalg.lstsq(Ad, b, rcond=None)[0]
-    x = np.asarray(rs.qrsol(A, list(b), 2))[:1900]
+    x = np.asarray(rs.qrsol(A, list(b), 2))[:900]
     resid = np.abs(Ad @ x - b).max()
     assert resid < 1e-8, resid
     # minimum-norm property survives refinement (corrections stay in
@@ -73,14 +75,15 @@ def test_qr_mf_chunked_factor_matches_monolithic(f32_qr, monkeypatch):
     preserves level order at any cut)."""
     from rsparse_tpu.factor import frontal, frontal_qr
 
+    monkeypatch.setattr(config, "mf_min_n", 600)
     rng = np.random.default_rng(2)
-    A = _mk(1900, 1600, rng)
-    b = rng.standard_normal(1900)
+    A = _mk(900, 760, rng)
+    b = rng.standard_normal(900)
     want = np.linalg.lstsq(A.to_dense_np(), b, rcond=None)[0]
 
     monkeypatch.setattr(frontal, "FUSE_ENTRY_CAP", 50_000)
     s = sqr(A, 2, True)
-    x = np.asarray(rs.qrsol(A, list(b), 2, sym=s))[:1600]
+    x = np.asarray(rs.qrsol(A, list(b), 2, sym=s))[:760]
     plan = s._mf_qr_plan
     assert plan is not None
     chunks = plan.__dict__["_chunks"]
@@ -97,12 +100,13 @@ def test_qrsol_vals_entry_cap_falls_back_per_instance(f32_qr, monkeypatch):
     whole-tree program — the hang that killed the round-3 bench."""
     from rsparse_tpu.factor import frontal
 
+    monkeypatch.setattr(config, "mf_min_n", 600)
     rng = np.random.default_rng(3)
-    A = _mk(1900, 1600, rng)
+    A = _mk(900, 760, rng)
     K = 3
     nz = A.nnz()
     AxK = np.tile(A.x[:nz], (K, 1)) * (1.0 + 0.1 * np.arange(K))[:, None]
-    B = rng.standard_normal((K, 1900))
+    B = rng.standard_normal((K, 900))
 
     monkeypatch.setattr(frontal, "FUSE_ENTRY_CAP", 50_000)
     s = sqr(A, 2, True)

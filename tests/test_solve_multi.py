@@ -222,8 +222,12 @@ def _tall_fixture(n=1600, m=2000, nnz=12000, K=4, seed=0):
     return a, AxK
 
 
-def test_qrsol_vals_least_squares_mf():
-    a, AxK = _tall_fixture()
+def test_qrsol_vals_least_squares_mf(monkeypatch):
+    # small problem + lowered MF threshold: the vmapped whole-tree program
+    # compiles in seconds instead of the ~17 min the 2000x1600 fixture
+    # cost (coverage is the MF code path, not the size)
+    monkeypatch.setattr(rs.config, "mf_min_n", 600)
+    a, AxK = _tall_fixture(n=700, m=900, nnz=5200)
     assert a.n >= rs.config.mf_min_n
     K = AxK.shape[0]
     rng = np.random.default_rng(1)
@@ -240,8 +244,9 @@ def test_qrsol_vals_least_squares_mf():
     assert np.abs(X[1] - x1).max() < 1e-8
 
 
-def test_qrsol_vals_minimum_norm_mf():
-    a, AxK = _tall_fixture(seed=2)
+def test_qrsol_vals_minimum_norm_mf(monkeypatch):
+    monkeypatch.setattr(rs.config, "mf_min_n", 600)  # see least_squares_mf
+    a, AxK = _tall_fixture(n=700, m=900, nnz=5200, seed=2)
     at = rs.ops.transpose(a)  # wide: m < n
     K = AxK.shape[0]
     nz = at.nnz()
