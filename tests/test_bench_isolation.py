@@ -57,6 +57,8 @@ def _stub_all(monkeypatch, fail=()):
     monkeypatch.setattr(bench, "bench_spgemm_general",
                         make("spgemm_general", (1e9, 1e8)))
     monkeypatch.setattr(bench, "bench_spmm", make("spmm", (1e9, 1e8)))
+    monkeypatch.setattr(bench, "bench_opchain",
+                        make("opchain", (0.01, 0.02)))
     monkeypatch.setattr(bench, "bench_sptrsv",
                         make("sptrsv", (1e9, 2.0, 3.0)))
 
@@ -114,3 +116,30 @@ def test_total_failure_exits_nonzero(monkeypatch, capsys):
         bench.main()
     lines = _json_lines(capsys.readouterr().out)
     assert lines[-1]["metric"] == "bench_failed"
+
+
+def test_deadline_skips_remaining_sections(monkeypatch, capsys):
+    """Round-4 time bounding: once the budget is nearly spent, later
+    sections are SKIPPED (recorded in extra.skipped_sections) instead of
+    risking the driver's hard kill — and the budget anchors at main()
+    entry, not module import (the bug that skipped qrsol in CI)."""
+    import time as _t
+
+    _stub_all(monkeypatch)
+
+    def slow_serve(*a, **k):
+        _t.sleep(1.5)
+        return (0.1, 1.0)
+
+    monkeypatch.setattr(bench, "bench_serve", slow_serve)
+    # lusol/cholsol/serve start with >30s left; after serve burns 1.5s the
+    # remaining budget drops below the 30s floor and everything later skips
+    monkeypatch.setattr(bench, "DEADLINE_S", 31.0)
+    bench.main()  # must not raise: the headline landed before the cut
+    last = _json_lines(capsys.readouterr().out)[-1]
+    assert last["metric"] == "lusol_wall_s" and last["value"] == 0.5
+    skipped = last["extra"]["skipped_sections"].split(",")
+    assert "serve_lu" in skipped and "qrsol" in skipped
+    assert "spgemm" in skipped
+    assert "cholsol_wall_s" in last["extra"]  # pre-cut sections survived
+    assert "lusol_serve_wall_s" not in last["extra"]
