@@ -9,7 +9,10 @@ from rsparse_tpu.factor.frontal_lu import build_lu_mf_plan, lu_mf
 from rsparse_tpu.symbolic import native
 
 
-def _dd_banded(g=48, seed=0):
+def _dd_banded(g=40, seed=0):
+    # g=40 -> n=1600: the smallest Laplacian that stays >= mf_min_n so the
+    # lusol e2e test still takes the MF tier (g=48 measured 462s of suite
+    # wall under -n 4, nearly all XLA:CPU compile of the LU plan)
     from bench import laplacian_5pt
 
     n, Ap, Ai, Ax = laplacian_5pt(g)
