@@ -110,12 +110,20 @@ class Sprs:
         i: Optional[Sequence[int]] = None,
         x: Optional[Sequence[float]] = None,
     ):
+        def _own(v, dt):
+            a = np.asarray(v if v is not None else [], dtype=dt)
+            # np.asarray of a dtype-matching JAX array is a zero-copy
+            # READ-ONLY view; Sprs fields are mutable by contract (the
+            # reference idiom `a.x[k] = v` must work on results of the
+            # device op paths too) — copy only when needed
+            return a if a.flags.writeable else a.copy()
+
         self.nzmax = int(nzmax)
         self.m = int(m)
         self.n = int(n)
-        self.p = np.asarray(p if p is not None else [], dtype=np.int64)
-        self.i = np.asarray(i if i is not None else [], dtype=np.int64)
-        self.x = np.asarray(x if x is not None else [], dtype=_f_dtype())
+        self.p = _own(p, np.int64)
+        self.i = _own(i, np.int64)
+        self.x = _own(x, _f_dtype())
 
     # -- constructors (src/data.rs:210-267) --------------------------------
 

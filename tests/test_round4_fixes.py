@@ -156,3 +156,19 @@ def test_qr_factor_dtype_auto_is_f64_on_cpu():
 
     assert config.qr_factor_dtype == "auto"
     assert _qr_factor_dtype() == jnp.float64  # tests run on CPU
+
+
+def test_sprs_fields_are_writable_from_device_arrays():
+    """np.asarray of a dtype-matching JAX array is a zero-copy READ-ONLY
+    view; Sprs built from device-op results must still honor the reference
+    idiom `a.x[k] = v` (the bug class that voided BENCH_r02)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.array([1.0, 2.0, 3.0]))
+    i = jnp.asarray(np.array([0, 1, 2]))
+    p = jnp.asarray(np.array([0, 1, 2, 3]))
+    a = rs.Sprs(3, 3, 3, p, i, x)
+    a.x[0] = 7.0  # must not raise ValueError: assignment destination ...
+    a.i[0] = 1
+    a.p[0] = 0
+    assert a.x[0] == 7.0
