@@ -67,7 +67,12 @@ class MxuSpmvPlan:
 
 
 def mxu_spmv_plan(a: Sprs, dtype=np.float32, ch_size: int = 512,
-                  g: int = 16) -> MxuSpmvPlan:
+                  g: int = 128) -> MxuSpmvPlan:
+    """g (chunks per scan step) defaults high: the scan's per-step
+    overhead is the dominant cost at bench scale (5.2M-nnz random,
+    measured: g=16 0.526 / g=32 0.603 / g=128 0.632 Gnnz/s), and it is
+    clamped to the actual chunk count so small problems pad at most one
+    step."""
     nz = a.nnz()
     rows = a.i[:nz].astype(np.int64)
     cols = col_ids(a.p, a.n)
@@ -81,6 +86,7 @@ def mxu_spmv_plan(a: Sprs, dtype=np.float32, ch_size: int = 512,
     upair, counts = np.unique(bps, return_counts=True)
     nchunks_per = -(-counts // ch_size)
     total_chunks = int(nchunks_per.sum())
+    g = max(1, min(g, total_chunks))
     nsteps = max(1, -(-total_chunks // g))
     Cp = nsteps * g  # padded chunk count
     E = Cp * ch_size
