@@ -85,12 +85,16 @@ class MxuSpgemmPlan:
     out_i: np.ndarray  # [nnzC] C row indices
 
 
-def mxu_spgemm_plan(a: Sprs, b: Sprs, ch_size: int = 128,
-                    g: int = 32) -> MxuSpgemmPlan:
+def mxu_spgemm_plan(a: Sprs, b: Sprs, ch_size: int = 256,
+                    g: int = 64) -> MxuSpgemmPlan:
     """Default ch_size is smaller than the SpMV plan's: SpGEMM triples
     (C-, A-, B-subtable) fragment finer than SpMV pairs on random
     patterns (measured pad waste at 1M^2/5-per-col random: 2.98x @512,
-    1.37x @128), and per-entry MXU cost is chunk-size independent."""
+    1.37x @128), and per-entry MXU cost is chunk-size independent.
+    ch=256/g=64 re-measured fastest in round 4 (0.24 vs 0.20 Gnnz/s at
+    ch=128/g=32 — scan-step overhead dominates; ch=512 exceeds the remote
+    compiler's request size limit). g is clamped to the chunk count so
+    small problems pad at most one step."""
     base = _plan.spgemm_plan(a, b)  # cached ESC expansion (pattern only)
     E = len(base.seg)
     a_idx = base.a_idx.astype(np.int64)
@@ -118,6 +122,7 @@ def mxu_spgemm_plan(a: Sprs, b: Sprs, ch_size: int = 128,
     utrip, counts = np.unique(ks, return_counts=True)
     nchunks_per = -(-counts // ch_size)
     total_chunks = int(nchunks_per.sum())
+    g = max(1, min(g, total_chunks))
     nsteps = max(1, -(-total_chunks // g))
     Cp = nsteps * g
     Et = Cp * ch_size
