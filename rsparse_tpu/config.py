@@ -86,6 +86,30 @@ def enable_x64() -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+
+
+_cache_state = {"done": False}
+
+
+def maybe_enable_compilation_cache() -> None:
+    """Enable the persistent AOT cache once, keyed on the RESOLVED backend.
+
+    Called from the device-path chokepoints (ops dispatch, factor/solve
+    drivers) right before device work, where initializing the backend is
+    free — never at import time, where `jax.default_backend()` would spin
+    up the (possibly tunneled) runtime for host-only flows, and never from
+    the JAX_PLATFORMS env string alone: a TPU-less host with the env unset
+    still resolves to "cpu" and must not read/write AOT entries (loading
+    entries written under different host-CPU feature sets trips XLA's
+    machine-feature mismatch check — the `cpu_aot_loader` SIGILL-warning
+    spew)."""
+    if _cache_state["done"]:
+        return
+    import jax
+
+    _cache_state["done"] = True
+    if jax.default_backend() == "cpu":
+        return
     _enable_compilation_cache(jax)
 
 
@@ -95,16 +119,6 @@ def _enable_compilation_cache(jax) -> None:
     kernels compile a small ladder of shapes that this cache makes a
     one-time cost per machine."""
     import os
-
-    # CPU-only runs (tests, the virtual-mesh dryrun) compile locally in
-    # milliseconds; persisting their AOT results buys nothing and reloading
-    # entries written under different host-CPU feature sets trips XLA's
-    # machine-feature mismatch check. The cache exists for the remote
-    # TPU-tunnel compiles, so keep it scoped to those backends.
-    plats = (os.environ.get("JAX_PLATFORMS")
-             or getattr(jax.config, "jax_platforms", None) or "")
-    if plats.strip().lower() == "cpu":
-        return
     cache = os.environ.get(
         "RSPARSE_TPU_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),

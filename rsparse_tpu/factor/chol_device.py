@@ -126,10 +126,14 @@ def _choose_cut(level: np.ndarray, n: int, target_levels: int = 48,
                 dense_tail_max: int = 2048) -> int:
     """Largest cut with max(level[:cut]) < target_levels, tail capped."""
     nlev = int(level.max()) + 1 if n else 0
-    if nlev <= 2 * target_levels or n <= 512:
+    if nlev <= 2 * target_levels:
         return n
     if n <= dense_tail_max:
-        return 0  # deep level structure, small system: all-dense tail
+        # deep level structure, small system: all-dense tail — even at
+        # n ~ 400 a dense cholesky (~0.5 ms) beats hundreds of sequential
+        # level launches (round-5 fix: the old `n <= 512 -> no tail` rule
+        # left a 408-column, 340-level sweep inside the recursive MF)
+        return 0
     pmax = np.maximum.accumulate(level)
     ok = np.nonzero(pmax < target_levels)[0]
     cut = int(ok[-1]) + 1 if len(ok) else 0
@@ -347,7 +351,9 @@ def _chol_tail_kernel(Lx, Cx, rhs_src, rhs_r, rhs_c,
         Cx[att_src], mode="drop")
     Asym = Att + Att.T - jnp.diag(jnp.diagonal(Att))
     S = Asym - W.T @ W
-    Ls = jnp.linalg.cholesky(S)
+    from .dense_chol import fast_chol
+
+    Ls = fast_chol(S)
     dmin = jnp.min(jnp.diagonal(Ls))  # NaN if not SPD
     Ls_inv = jax.lax.linalg.triangular_solve(
         Ls, jnp.eye(Ls.shape[0], dtype=ft), left_side=True, lower=True)

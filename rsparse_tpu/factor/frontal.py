@@ -116,8 +116,15 @@ class MFPlan:
 
 
 SMAX_DEFAULT = 64
-# skeletons larger than this recurse into another multifrontal layer
-RECURSE_MIN = 3000
+# Skeletons larger than this recurse into another multifrontal layer.
+# Tuned round 5: a skeleton left dense costs O(ns) sequential column steps
+# in the tail cholesky (~10 ms at ns=1971 on v5e) plus an O(ns^2) inverse,
+# so large skeletons are worth one more peel — but each recursion layer
+# adds front kernels and solve stages to the program (a depth-5 chain
+# measured 2.5x SLOWER than no recursion at the cholsol_vals bench shape),
+# so the threshold stays high enough that the peel terminates in one or
+# two layers with the remainder dense.
+RECURSE_MIN = 1200
 MAX_DEPTH = 4
 
 
@@ -365,7 +372,9 @@ def _front_kernel(Lx, Csx, Cx, ass_src, ass_f, ass_r, ass_c,
         jnp.diagonal(Ass, axis1=1, axis2=2))
     # padded/missing-diag S slots: make them identity pivots
     Ass = Ass.at[pad_f, pad_r, pad_r].add(jnp.ones((), ft), mode="drop")
-    Lss = jnp.linalg.cholesky(Ass)
+    from .dense_chol import fast_chol
+
+    Lss = fast_chol(Ass)
     dmin = (jnp.min(Lss[dg_f, dg_r, dg_r]) if dg_f.shape[0]
             else jnp.ones((), ft))
     Abs = jnp.zeros((F, bp, sp), ft).at[abs_f, abs_r, abs_c].set(
@@ -557,6 +566,9 @@ def chol_mf(c: Sprs, s: Symb, plan: MFPlan, mixed: bool = False):
     """Run the multifrontal factorization — as ONE fused launch when the
     plan is small enough for the compile pipeline, eagerly otherwise.
     Returns (Lp, Li, Lx_host) and caches the solve tree on the plan."""
+    from ..config import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
     _prep_factor_indices(plan)
     fuse = plan.__dict__.setdefault(
         "_fuse_ok", _plan_index_entries(plan) <= fuse_entry_cap())

@@ -1163,6 +1163,9 @@ def lu_mf(a: Sprs, s: Symb, plan: LUMFPlan, tol: float, mixed: bool = False):
     see frontal.FUSE_ENTRY_CAP.)"""
     from .frontal import fuse_entry_cap
 
+    from ..config import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
     _prep_lu_factor_indices(plan)
     ax_host = a.x[: a.nnz()]
     if plan.vperm is not None:  # factorization runs on A(P, P)

@@ -55,6 +55,9 @@ def _numeric_on_host(nnz: int) -> bool:
         return True
     import jax
 
+    from ..config import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()  # backend resolved here anyway
     return jax.default_backend() == "tpu" and nnz < config.device_ops_min_nnz
 
 

@@ -525,7 +525,7 @@ def dist_cholsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
         # below the MF/fuse tier (or host backend) distribution buys
         # nothing; per-instance path preserves the batched NPD contract
         return _chol_vals_fallback(a, s, AxK, Bm, order)
-    src, Mi, Mj, offd = _chol_vals_static(mfp, a, s)
+    src, Mi, Mj, offd, pad = _chol_vals_static(mfp, a, s)
     _prep_factor_indices(mfp)
     _prep_solve_indices(mfp)
     dev = _collect_chol_dev(mfp)
@@ -538,12 +538,15 @@ def dist_cholsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
     if Kp != K:  # pad with copies of instance 0 (valid SPD, result dropped)
         CxK = np.concatenate([CxK, np.repeat(CxK[:1], Kp - K, axis=0)])
         BK = np.concatenate([BK, np.repeat(BK[:1], Kp - K, axis=0)])
+    padargs = tuple(pad) if pad is not None else ()
     fn = mfp.__dict__.get("_dist_vals_jit")
     if fn is None or fn[1] is not mesh or fn[2] != axis or fn[3] != fdt:
-        def run(CxL, BL, dev, pv_, Mi_, Mj_, offd_):
+        def run(CxL, BL, dev, pv_, Mi_, Mj_, offd_, *pad_in):
+            pad_ = pad_in if pad_in else None
+
             def one(cx64, b64):
                 return _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_,
-                                      offd_, cx64, b64)
+                                      offd_, cx64, b64, pad=pad_)
 
             return jax.vmap(one)(CxL, BL)
 
@@ -552,14 +555,15 @@ def dist_cholsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 0, *,
         # varying-axes checker rejects despite being sound here.
         jfn = jax.jit(shard_map(
             run, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(), P(), P(), P(), P())
+            + tuple(P() for _ in padargs),
             out_specs=(P(axis), P(axis), P(axis), P(axis)),
             check_vma=False))
         fn = (jfn, mesh, axis, fdt)  # traced program bakes the factor dtype
         mfp.__dict__["_dist_vals_jit"] = fn
     dmin_k, Y, rmaxK, xmaxK = fn[0](
         jnp.asarray(CxK), jnp.asarray(BK), dev, jnp.asarray(pv),
-        Mi, Mj, offd)
+        Mi, Mj, offd, *padargs)
     out = np.asarray(Y[:K, :, 0], np.float64)
     return _chol_vals_finish(
         a, s, AxK, Bm, out, np.asarray(dmin_k)[:K],

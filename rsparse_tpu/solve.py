@@ -439,9 +439,15 @@ def _chol_vals_fallback(a: Sprs, s, AxK, Bm, order: int):
 
 def _chol_vals_static(mfp, a: Sprs, s):
     """Pattern-static tensors for the batched-values program, cached on the
-    plan: the symperm value gather `src`, and the symmetrized-COO residual
+    plan: the symperm value gather `src`, the symmetrized-COO residual
     pattern in ORIGINAL row order (mirrors `_sym_coo`: Mi/Mj index rows/
-    cols, per-instance values are concat(cx, cx[offd_idx]))."""
+    cols, per-instance values are concat(cx, cx[offd_idx])), and — when the
+    max row degree allows — a PADDED row-gather form of the same matrix
+    (pad_src [n, K] indexing the concat value stream, col_pad [n, K]): on
+    TPU the refinement residual then runs as one einsum-gather instead of
+    a COO scatter-add, which costs ~160 ns/element and dominated the whole
+    vals program (measured ~440 of 520 ms at the K=16, n=10^4 bench
+    shape)."""
     st = mfp.__dict__.get("_vals_static")
     if st is None:
         import jax.numpy as jnp
@@ -459,27 +465,45 @@ def _chol_vals_static(mfp, a: Sprs, s):
             porder = np.argsort(np.asarray(s.pinv, np.int64))
             Mi = porder[Mi]
             Mj = porder[Mj]
+        cnt = np.bincount(Mi, minlength=n) if len(Mi) else np.zeros(n, int)
+        Kp = int(cnt.max()) if len(Mi) else 1
+        pad = None
+        if Kp <= 64:
+            rord = np.argsort(Mi, kind="stable")
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(cnt, out=offs[1:])
+            pad_src = np.full((n, max(Kp, 1)), -1, np.int64)
+            ar = np.arange(len(Mi))
+            pad_src[Mi[rord], ar - offs[Mi[rord]]] = rord
+            col_pad = np.where(pad_src >= 0,
+                               Mj[np.clip(pad_src, 0, None)], n - 1)
+            pad = (jnp.asarray(pad_src.astype(np.int32)),
+                   jnp.asarray(col_pad.astype(np.int32)))
         st = (cp.perm,
               jnp.asarray(Mi.astype(np.int32)),
               jnp.asarray(Mj.astype(np.int32)),
-              jnp.asarray(np.nonzero(offd)[0].astype(np.int32)))
+              jnp.asarray(np.nonzero(offd)[0].astype(np.int32)),
+              pad)
         mfp.__dict__["_vals_static"] = st
     return st
 
 
 def _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_, offd_, cx64, b64,
-                   steps: int = 4):
+                   steps: int = 4, pad=None):
     """Traced per-instance core shared by cholsol_vals and
     parallel.dist_cholsol_vals: factor in `fdt` (f32 on TPU — MXU-eligible
-    dense fronts), MF solve, then `steps` keep-best f64 refinement
+    dense fronts), MF solve, then up to `steps` keep-best f64 refinement
     iterations against the symmetrized residual (the matrix chol actually
-    factored — see `_sym_coo`). 4 steps, not 2: each contracts the error
-    by ~kappa*eps32, and the 1e-10*scale accept gate must clear at
-    kappa ~ 1e4-1e5 without falling back (steps are one tree solve + one
-    COO SpMV each — cheap next to the factor). cx64: [cnnz] symperm'd
-    f64 values;
-    b64: [n, 1] RHS in original row order. Returns (dmin, X [n,1] f64,
-    max|r|, max|X|)."""
+    factored — see `_sym_coo`), run EARLY-EXIT under a while_loop (under
+    vmap the batch iterates until every instance converges or stagnates;
+    keep-best makes the extra masked iterations harmless). Up to 4 steps:
+    each contracts the error by ~kappa*eps32, and the 1e-10*scale accept
+    gate must clear at kappa ~ 1e4-1e5 without falling back. `pad` is the
+    padded-gather residual form from `_chol_vals_static` (einsum, no TPU
+    scatter); None falls back to the COO scatter-add. cx64: [cnnz]
+    symperm'd f64 values; b64: [n, 1] RHS in original row order. Returns
+    (dmin, X [n,1] f64, max|r|, max|X|)."""
+    import jax
     import jax.numpy as jnp
 
     from .factor.frontal import _chol_mf_values, _solve_mf_dev
@@ -496,19 +520,41 @@ def _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_, offd_, cx64, b64,
         Y = _solve_mf_dev(mfp, Z.astype(ft), cache).astype(jnp.float64)
         return Y[pv_]  # pvec
 
-    def amul(X):
-        return jnp.zeros((n, 1), jnp.float64).at[Mi_].add(
-            mx[:, None] * X[Mj_])
+    if pad is not None:
+        pad_src, col_pad = pad
+        mxp = jnp.where(pad_src >= 0,
+                        mx[jnp.clip(pad_src, 0, None)],
+                        jnp.zeros((), mx.dtype))
+
+        def amul(X):
+            return jnp.einsum("nk,nkr->nr", mxp, X[col_pad])
+    else:
+        def amul(X):
+            return jnp.zeros((n, 1), jnp.float64).at[Mi_].add(
+                mx[:, None] * X[Mj_])
 
     X = solve_once(b64)
     r = b64 - amul(X)
-    for _ in range(steps):
+    rmax0 = jnp.max(jnp.abs(r))
+    scale = jnp.maximum(jnp.max(jnp.abs(b64)), 1.0)
+
+    def cond(st):
+        _, _, k, rmax, prev = st
+        return (k < steps) & (rmax > 1e-13 * scale) & (rmax < prev)
+
+    def body(st):
+        X, r, k, rmax, _ = st
         X2 = X + solve_once(r)
         r2 = b64 - amul(X2)
-        better = jnp.max(jnp.abs(r2)) < jnp.max(jnp.abs(r))
+        rmax2 = jnp.max(jnp.abs(r2))
+        better = rmax2 < rmax
         X = jnp.where(better, X2, X)
         r = jnp.where(better, r2, r)
-    return dmin, X, jnp.max(jnp.abs(r)), jnp.max(jnp.abs(X))
+        return (X, r, k + 1, jnp.minimum(rmax2, rmax), rmax)
+
+    X, r, _, rmax, _ = jax.lax.while_loop(
+        cond, body, (X, r, 0, rmax0, jnp.inf))
+    return dmin, X, rmax, jnp.max(jnp.abs(X))
 
 
 def _writable(a: np.ndarray) -> np.ndarray:
@@ -584,7 +630,7 @@ def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
     s, mfp, AxK, Bm, pv = _chol_vals_setup(a, Ax, B, order, sym)
     if mfp is None:
         return _chol_vals_fallback(a, s, AxK, Bm, order)
-    src, Mi, Mj, offd = _chol_vals_static(mfp, a, s)
+    src, Mi, Mj, offd, pad = _chol_vals_static(mfp, a, s)
     _prep_factor_indices(mfp)
     _prep_solve_indices(mfp)
     dev = _collect_chol_dev(mfp)
@@ -593,22 +639,39 @@ def cholsol_vals(a: Sprs, Ax, B, order: int = 0, *,
     if cached is not None and cached[1] == fdt:
         fn = cached[0]
     else:  # (re)build — the traced program bakes the factor dtype
-        def run(CxK, BK, dev, pv_, Mi_, Mj_, offd_):
+        def run(CxK, BK, dev, pv_, Mi_, Mj_, offd_, *padargs):
+            pad_ = padargs if padargs else None
+
             def one(cx64, b64):
                 return _chol_vals_one(mfp, n, fdt, dev, pv_, Mi_, Mj_,
-                                      offd_, cx64, b64)
+                                      offd_, cx64, b64, pad=pad_)
 
+            # NOTE: packing these into one [K, n+3] array (concat/stack,
+            # inside or outside the vmap) reproducibly crashed the v5e
+            # TPU worker with a kernel fault — keep the 4-leaf output.
             return jax.vmap(one)(CxK, BK)
 
         fn = jax.jit(run)
         mfp.__dict__["_vals_jit"] = (fn, fdt)
-    dmin_k, Y, rmaxK, xmaxK = fn(
-        jnp.asarray(AxK[:, src]), jnp.asarray(Bm[..., None]), dev,
-        jnp.asarray(pv), Mi, Mj, offd)
-    dmin_h, rmax_h, xmax_h = jax.device_get((dmin_k, rmaxK, xmaxK))
-    out = np.asarray(Y[..., 0], np.float64)
-    return _chol_vals_finish(a, s, AxK, Bm, out, np.asarray(dmin_h),
-                             np.asarray(rmax_h), np.asarray(xmax_h), order)
+    # warm-call upload cache: the [K, cnnz] f64 value batch is the dominant
+    # per-call transfer (6+ MB at the bench shape); repeated solves with
+    # unchanged values (parameter sweeps re-solved under new RHS, serving)
+    # skip it entirely
+    fpk = (AxK.shape, hash(np.ascontiguousarray(AxK).tobytes()))
+    vc = mfp.__dict__.get("_vals_upload")
+    if vc is not None and vc[0] == fpk:
+        CxKd = vc[1]
+    else:
+        CxKd = jnp.asarray(AxK[:, src])
+        mfp.__dict__["_vals_upload"] = (fpk, CxKd)
+    dmin_k, Y, rmaxK, xmaxK = jax.device_get(fn(
+        CxKd, jnp.asarray(Bm[..., None]),
+        dev, jnp.asarray(pv), Mi, Mj, offd,
+        *(pad if pad is not None else ())))
+    return _chol_vals_finish(a, s, AxK, Bm,
+                             np.asarray(Y[..., 0], np.float64),
+                             np.asarray(dmin_k), np.asarray(rmaxK),
+                             np.asarray(xmaxK), order)
 
 
 def _lu_vals_setup(a: Sprs, Ax, B, order: int, sym: Optional[Symb]):
@@ -1001,8 +1064,10 @@ def _make_serve_handle(n: int, chain, pin, pout, Mi, Mj, Mx,
     import jax
     import jax.numpy as jnp
 
+    from .config import maybe_enable_compilation_cache
     from .ops.sptrsv_pallas import _sweep_call, pallas_sweep_available
 
+    maybe_enable_compilation_cache()
     n_pad = -(-(n + 1) // 8) * 8
     interpret = jax.default_backend() != "tpu"
     specs, flat = _chain_prep(chain)
@@ -1749,7 +1814,18 @@ def cholsol(a: Sprs, b, order: int = 0, *, sym: Optional[Symb] = None):
     n = a.n
     with phase_timer("cholsol.symbolic", nnz=a.nnz()):
         s = sym if sym is not None else schol(a, order)
-    if config.backend != "host":
+    # Latency tier (mirrors factor.chol): through a tunneled TPU runtime
+    # the per-launch floor (~25 ms measured) exceeds the host engine's
+    # ENTIRE wall for small factors — route the one-shot only when the
+    # device can actually win. factor.chol applies the same rule, so the
+    # fall-through below lands on the native engine for this tier.
+    host_tier = False
+    if config.backend != "host" and config.latency_host_lnz > 0:
+        import jax as _jax
+
+        host_tier = (_jax.default_backend() == "tpu"
+                     and int(s.lnz) < config.latency_host_lnz)
+    if config.backend != "host" and not host_tier:
         with phase_timer("cholsol.oneshot", nnz=s.lnz):
             shot = _chol_one_shot(a, s, np.asarray(b, np.float64)[:, None])
         if shot is not None:
@@ -2050,6 +2126,9 @@ def _lu_one_shot(a: Sprs, s, Bm: np.ndarray, tol: float, steps: int = 4):
         _lu_mf_values, _lu_plan_index_entries, _prep_lu_factor_indices,
         _prep_lu_solve_indices, build_lu_mf_plan)
 
+    from .config import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
     n = a.n
     if n < config.mf_min_n or getattr(s, "_static_rejected", False):
         return None
@@ -2352,18 +2431,30 @@ def _chol_one_shot(a: Sprs, s, Bm: np.ndarray, steps: int = 4):
     if not mfp.__dict__.setdefault(
             "_fuse_ok", _plan_index_entries(mfp) <= fuse_entry_cap()):
         return None
+    from .config import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
     _prep_factor_indices(mfp)
     _prep_solve_indices(mfp)
     dev = _collect_chol_dev(mfp)
     perm, mxmap, Mi, Mj, (mx_padmap, col_pad) = _chol_oneshot_maps(a, s)
-    ax = np.asarray(a.x[: a.nnz()], np.float64)
-    cx_h = ax[perm]
     padded = mx_padmap is not None
-    if padded:
-        mx_h = np.where(mx_padmap >= 0,
-                        ax[np.clip(mx_padmap, 0, None)], 0.0)
-    else:
-        mx_h = ax[mxmap]
+    # warm-call value-upload cache: repeated solves with unchanged values
+    # (the serving/bench pattern) skip the host gathers AND the host->device
+    # transfers — through a tunneled runtime each upload costs an RPC
+    fp = _values_fp(a)
+    vcache = mfp.__dict__.get("_oneshot_vals")
+    if vcache is None or vcache[0] != fp:
+        ax = np.asarray(a.x[: a.nnz()], np.float64)
+        cx_h = ax[perm]
+        if padded:
+            mx_h = np.where(mx_padmap >= 0,
+                            ax[np.clip(mx_padmap, 0, None)], 0.0)
+        else:
+            mx_h = ax[mxmap]
+        vcache = (fp, cx_h, jnp.asarray(mx_h), {})
+        mfp.__dict__["_oneshot_vals"] = vcache
+    _, cx_h, Mx, cx_dev_by_dt = vcache
     pv = (jnp.asarray(np.asarray(s.pinv, np.int64))
           if s.pinv is not None else None)
     # keyed on `steps` (baked into the trace) — see _lu_one_shot
@@ -2415,24 +2506,47 @@ def _chol_one_shot(a: Sprs, s, Bm: np.ndarray, steps: int = 4):
 
             X, r, _, rmax, _ = jax.lax.while_loop(
                 cond, body, (X, r, 0, rmax0, jnp.inf))
-            return X, dmin, rmax, jnp.max(jnp.abs(X)), cache
+            # PACKED result: X plus a stats row [dmin, rmax, max|X|, ...] as
+            # one f64 array — a single transfer instead of four through the
+            # tunneled runtime (each device_get leaf costs an RPC)
+            xmaxv = jnp.max(jnp.abs(X))
+            if nrhs >= 3:
+                stats = jnp.stack([dmin, rmax, xmaxv]
+                                  + [dmin] * (nrhs - 3))
+                packed = jnp.concatenate([X, stats[None, :]], axis=0)
+            else:
+                stats = jnp.stack([dmin, rmax, xmaxv])
+                packed = jnp.concatenate(
+                    [X.T.reshape(-1), stats]).reshape(1, -1)
+            return packed, cache
 
         fn = jax.jit(run)
         mfp.__dict__[f"_oneshot_jit_{steps}"] = fn
 
     Bd = jnp.asarray(Bm)
-    Mx = jnp.asarray(mx_h)
     Mj_arg = col_pad if padded else Mj
+    nrhs = Bm.shape[1]
     for fdt in (_chol_factor_dtype(True), None):
-        Cx = jnp.asarray(cx_h) if fdt is None else jnp.asarray(cx_h, fdt)
+        key = jnp.dtype(fdt).name if fdt is not None else "f64"
+        Cx = cx_dev_by_dt.get(key)
+        if Cx is None:
+            Cx = (jnp.asarray(cx_h) if fdt is None
+                  else jnp.asarray(cx_h, fdt))
+            cx_dev_by_dt[key] = Cx
         args = [Cx, Bd, dev, Mi, Mj_arg, Mx]
         if pv is not None:
             args.append(pv)
-        X, dmin, rmax, xmax, cache = fn(*args)
-        Xh, dmin_h, rmax_h, xmax_h = jax.device_get((X, dmin, rmax, xmax))
+        packed, cache = fn(*args)
+        ph = np.asarray(jax.device_get(packed), np.float64)
+        if nrhs >= 3:
+            Xh, (dmin_h, rmax_h, xmax_h) = ph[:-1], ph[-1, :3]
+        else:
+            flat = ph.reshape(-1)
+            Xh = flat[: n * nrhs].reshape(nrhs, n).T
+            dmin_h, rmax_h, xmax_h = flat[n * nrhs: n * nrhs + 3]
         if dmin_h > 0.0:
             mfp.__dict__["_cache_tree"] = cache
-            return (np.asarray(Xh, np.float64), float(rmax_h),
+            return (np.ascontiguousarray(Xh), float(rmax_h),
                     float(xmax_h), mfp)
         if fdt is None:  # genuine NPD (f64 pivot <= 0)
             break
@@ -2504,6 +2618,44 @@ def _chol_mf_refine(a: Sprs, s, mfp, B: np.ndarray, X: np.ndarray,
     return Xm[:, 0] if single else Xm
 
 
+def _qr_ls_host_exact(a: Sprs, s: Symb, bb: np.ndarray) -> np.ndarray:
+    """Reference-exact least-squares solve through the host engine
+    (qr + ipvec/happly/usolve apply, src/lib.rs:931-942): the fallback when
+    the f32 MF tree's CSNE refinement cannot reach f64 optimality. Returns
+    x in PERMUTED column order (caller applies s.q)."""
+    nz = a.nnz()
+    Vp, Vi, Vx, Rp, Ri, Rx, beta = native.qr_numeric(
+        a.m, a.n, a.p, a.i[:nz], a.x[:nz], s.q, s.parent, s.pinv,
+        s.m2, s.lnz + 8, s.unz + 8)
+    xx = np.zeros(s.m2)
+    xx[np.asarray(s.pinv[: a.m], np.int64)] = bb[: a.m]
+    native.qr_ls_apply(a.n, Vp, Vi, Vx, beta, Rp, Ri, Rx, xx)
+    return xx[: a.n]
+
+
+def _qr_mn_host_exact(at: Sprs, s: Symb, bb: np.ndarray) -> np.ndarray:
+    """Reference-exact minimum-norm solve through the host engine (QR of
+    A', pvec/utsolve/happly-reversed/pvec — src/lib.rs:943-955): the
+    fallback when the f32 MF refinement cannot reach f64 residuals.
+    Returns x [n] in original row order."""
+    nz = at.nnz()
+    Vp, Vi, Vx, Rp, Ri, Rx, beta = native.qr_numeric(
+        at.m, at.n, at.p, at.i[:nz], at.x[:nz], s.q, s.parent, s.pinv,
+        s.m2, s.lnz + 8, s.unz + 8)
+    m, n = at.n, at.m  # original dims of A
+    x = np.zeros(s.m2)
+    ops.pvec(m, s.q, bb, x)
+    xv = np.ascontiguousarray(x[:m])
+    native.utsolve_host(m, Rp, Ri, Rx, xv)
+    x[:m] = xv
+    vmat = Sprs(len(Vx), s.m2, at.n, Vp, Vi, Vx)
+    for k in range(m - 1, -1, -1):
+        happly_dense(vmat, k, float(beta[k]), x)
+    out = np.zeros(n, dtype=np.float64)
+    ops.pvec(n, s.pinv, x, out)
+    return out
+
+
 def _qr_mf_try(a: Sprs, s: Symb):
     """Build+factor the multifrontal QR tree when the problem is device-
     scale; returns the plan or None (small problems / inapplicable)."""
@@ -2551,7 +2703,18 @@ def qrsol(a: Sprs, b, order: int = 2, *, sym: Optional[Symb] = None):
         if mfq is not None:
             from .factor.frontal_qr import qrsol_mf_ls
 
-            xp = qrsol_mf_ls(a, s, mfq, bb[:m])
+            xp, gmax = qrsol_mf_ls(a, s, mfq, bb[:m])
+            if gmax is not None:
+                # acceptance gate on the f64 LS-optimality gradient the
+                # program already computed (advisor r4 high): the f32
+                # CSNE contraction is ~kappa^2*eps32 per step and diverges
+                # for kappa >~ 4e3 — fall back to the host engine's exact
+                # f64 Householder instead of silently returning a worse-
+                # than-f32 iterate.
+                g0 = _host_spmm_t(a, bb[:m, None])
+                gscale = max(1.0, float(np.abs(g0).max()))
+                if gmax > 1e-8 * gscale:
+                    xp = _qr_ls_host_exact(a, s, bb[:m])
             out = np.zeros(n, dtype=np.float64)
             ops.ipvec(n, s.q, xp, out)
             _writeback(b, out)
@@ -2571,7 +2734,12 @@ def qrsol(a: Sprs, b, order: int = 2, *, sym: Optional[Symb] = None):
         if mfq is not None:
             from .factor.frontal_qr import qrsol_mf_mn
 
-            out = qrsol_mf_mn(at, s, mfq, bb[:m])
+            out, rmax = qrsol_mf_mn(at, s, mfq, bb[:m])
+            if rmax is not None:
+                # same acceptance gate, on the consistent-system residual
+                scale = max(1.0, float(np.abs(bb[:m]).max()))
+                if rmax > 1e-8 * scale:
+                    out = _qr_mn_host_exact(at, s, bb[:m])
             _writeback(b, out)
             return out
         nm = qr(at, s)

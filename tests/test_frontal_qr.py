@@ -55,7 +55,7 @@ def test_mf_qr_least_squares():
     qr_mf(a, s, plan)
     rng = np.random.default_rng(1)
     b = rng.standard_normal(320)
-    xp = qrsol_mf_ls(a, s, plan, b)
+    xp, _ = qrsol_mf_ls(a, s, plan, b)
     x = np.zeros(220)
     x[np.asarray(s.q)] = xp
     want, *_ = np.linalg.lstsq(d, b, rcond=None)
