@@ -29,11 +29,32 @@ def chol(a: Sprs, s: Symb, *, mixed: bool = False) -> Nmrc:
     the refining `cholsol` driver passes True to allow an f32 device factor
     (recovered to f64 by its refinement loop); a spurious f32 NotPD retries
     in f64 before raising. Direct callers always get f64 factors.
+
+    >>> from rsparse_tpu import Sprs, schol
+    >>> from rsparse_tpu.factor import chol
+    >>> a = Sprs.new_from_vec([[4.0, 2.0], [2.0, 5.0]])
+    >>> nm = chol(a, schol(a, 0))
+    >>> [round(float(v), 6) for v in nm.l.x[: nm.l.nnz()]]  # L: [2,1;0,2]
+    [2.0, 1.0, 2.0]
     """
     from ..symbolic import _symperm_host
 
     n = a.n
-    c = _symperm_host(a, s.pinv) if s.pinv is not None else a
+    if s.pinv is not None:
+        # value-fingerprint cache: warm re-solves with unchanged values
+        # (sym reuse — the serving/bench pattern) skip the O(nnz) symperm
+        # rebuild; ~1.5 ms of a ~17 ms latency-tier solve at cholsol_7
+        from ..solve import _values_fp
+
+        fp = _values_fp(a)
+        hit = s.__dict__.get("_symperm_cache")
+        if hit is not None and hit[0] == fp:
+            c = hit[1]
+        else:
+            c = _symperm_host(a, s.pinv)
+            s.__dict__["_symperm_cache"] = (fp, c)
+    else:
+        c = a
     host_tier = False
     if config.backend != "host" and config.latency_host_lnz > 0:
         import jax as _jax
@@ -81,6 +102,13 @@ def lu(a: Sprs, s: Symb, tol: float, *, mixed: bool = False) -> Nmrc:
     refining solver drivers (lusol/lusol_multi) pass True to allow an f32
     device factor (recovered to f64 by their refinement loop); direct
     callers always get full-precision factors.
+
+    >>> from rsparse_tpu import Sprs, sqr
+    >>> from rsparse_tpu.factor import lu
+    >>> a = Sprs.new_from_vec([[1.0, 3.0], [2.0, 4.0]])
+    >>> nm = lu(a, sqr(a, -1, False), 1.0)  # tol=1: strict partial pivot
+    >>> [int(v) for v in nm.pinv]  # row 1 (|2| > |1|) pivots first
+    [1, 0]
     """
     n = a.n
     host_tier = False
@@ -114,7 +142,15 @@ def lu(a: Sprs, s: Symb, tol: float, *, mixed: bool = False) -> Nmrc:
 def qr(a: Sprs, s: Symb) -> Nmrc:
     """(V,beta,R) = qr(A) given `sqr(qr=True)` analysis
     (reference src/lib.rs:788-877). V is returned in `l`, R in `u`, betas in
-    `b`, matching the reference's Nmrc layout (src/data.rs:1064-1074)."""
+    `b`, matching the reference's Nmrc layout (src/data.rs:1064-1074).
+
+    >>> from rsparse_tpu import Sprs, sqr
+    >>> from rsparse_tpu.factor import qr
+    >>> a = Sprs.new_from_vec([[3.0, 0.0], [4.0, 5.0]])
+    >>> nm = qr(a, sqr(a, -1, True))  # R diag = column norms up to sign
+    >>> [round(abs(float(nm.u.x[0])), 6)]
+    [5.0]
+    """
     n = a.n
     if config.backend == "host":
         Vp, Vi, Vx, Rp, Ri, Rx, beta = native.qr_numeric(

@@ -105,8 +105,10 @@ class CholPlan:
 
 
 def _lookup(keys_sorted: np.ndarray, order: np.ndarray, qkeys: np.ndarray) -> np.ndarray:
-    """Positions of qkeys in a sorted key array; -1 where absent."""
-    pos = np.searchsorted(keys_sorted, qkeys)
+    """Positions of qkeys in a sorted key array; -1 where absent. LAST
+    match on duplicate keys (reference last-wins assign semantics — see
+    frontal._lookup)."""
+    pos = np.searchsorted(keys_sorted, qkeys, side="right") - 1
     pos = np.clip(pos, 0, len(keys_sorted) - 1) if len(keys_sorted) else np.zeros_like(qkeys)
     hit = len(keys_sorted) > 0
     found = keys_sorted[pos] == qkeys if hit else np.zeros(qkeys.shape, bool)

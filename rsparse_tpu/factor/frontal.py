@@ -53,9 +53,15 @@ def _next_pow2(x: int) -> int:
 
 
 def _lookup(keys_sorted, order, qkeys):
+    # side="right" - 1: return the LAST matching slot — duplicate (i,j)
+    # entries are legal (Trpl.to_sprs keeps them; after the reference's
+    # sum_dupl the LAST slot holds the sum and the others explicit zeros),
+    # and the reference's chol assigns x[Ci[p]] = Cx[p] in scan order, so
+    # last-wins is the reference semantics (src/lib.rs:278-337).
     if len(keys_sorted) == 0:
         return np.full(np.shape(qkeys), -1, dtype=np.int64)
-    pos = np.clip(np.searchsorted(keys_sorted, qkeys), 0, len(keys_sorted) - 1)
+    pos = np.clip(np.searchsorted(keys_sorted, qkeys, side="right") - 1,
+                  0, len(keys_sorted) - 1)
     found = keys_sorted[pos] == qkeys
     return np.where(found, order[pos], -1).astype(np.int64)
 

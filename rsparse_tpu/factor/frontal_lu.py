@@ -56,7 +56,10 @@ def _next_pow2(x: int) -> int:
 def _lookup(keys_sorted, order, qkeys):
     if len(keys_sorted) == 0:
         return np.full(np.shape(qkeys), -1, dtype=np.int64)
-    pos = np.clip(np.searchsorted(keys_sorted, qkeys), 0, len(keys_sorted) - 1)
+    # LAST match on duplicate keys (reference last-wins assign semantics —
+    # see frontal._lookup)
+    pos = np.clip(np.searchsorted(keys_sorted, qkeys, side="right") - 1,
+                  0, len(keys_sorted) - 1)
     found = keys_sorted[pos] == qkeys
     return np.where(found, order[pos], -1).astype(np.int64)
 

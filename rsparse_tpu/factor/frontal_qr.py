@@ -203,8 +203,12 @@ def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 256) -> Optional[QRMFPlan]:
     akeys_s = akeys[aorder]
 
     def alookup(kc, rw):
+        # LAST match on duplicate (i,j) entries (reference last-wins
+        # assign semantics — see frontal._lookup; after sum_dupl the last
+        # slot holds the sum)
         kq = np.asarray(kc) * np.int64(m) + np.asarray(rw)
-        pos = np.clip(np.searchsorted(akeys_s, kq), 0, max(len(akeys_s) - 1, 0))
+        pos = np.clip(np.searchsorted(akeys_s, kq, side="right") - 1,
+                      0, max(len(akeys_s) - 1, 0))
         ok = akeys_s[pos] == kq
         return np.where(ok, aorder[pos], -1)
 

@@ -89,12 +89,38 @@ def add(a: Sprs, b: Sprs, alpha: float = 1.0, beta: float = 1.0) -> Sprs:
 def multiply(a: Sprs, b: Sprs) -> Sprs:
     """C = A*B, ESC SpGEMM (reference Gustavson: src/lib.rs:713-748).
 
+    Latency tier (TPU backend): a COLD one-shot product is round-trip
+    bound — ESC plan build + operand upload + value readback cost ~40x the
+    device kernel through a tunneled runtime (BENCH_r04: 5.5 Mnnz/s e2e vs
+    1.3 Gnnz/s kernel-resident) — so it runs the native C++ Gustavson
+    engine (the reference's exact algorithm AND entry order,
+    src/lib.rs:713-748). Device-resident pipelines (`ops.chain`,
+    `spgemm_dia(materialize=False)`, spgemm_general) remain the TPU path
+    where operands/products stay in HBM. On CPU/host backends the ESC
+    plan + kernel path is kept (canonical sorted output, exercised by the
+    test suite).
+
     >>> from rsparse_tpu import Sprs, multiply
     >>> a = Sprs.new_from_vec([[1.0, 2.0], [3.0, 4.0]])
     >>> b = Sprs.eye(2)
     >>> multiply(a, b).to_dense()
     [[1.0, 2.0], [3.0, 4.0]]
     """
+    if a.n != b.m:
+        raise ValueError(
+            f"dimension mismatch: A is {a.m}x{a.n}, B is {b.m}x{b.n}")
+    if config.backend != "host":
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from ..symbolic import native as _native
+
+            anz, bnz = a.nnz(), b.nnz()
+            Cp, Ci, Cx = _native.multiply_host(
+                a.m, a.n, a.p, a.i[:anz], a.x[:anz],
+                b.n, b.p, b.i[:bnz], b.x[:bnz])
+            return Sprs(len(Cx), a.m, b.n, Cp, Ci,
+                        np.asarray(Cx, dtype=a.x.dtype))
     p = _plan.spgemm_plan(a, b)
     if _numeric_on_host(len(p.seg)):
         cx = np.zeros(p.nnz, dtype=a.x.dtype)

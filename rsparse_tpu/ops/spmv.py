@@ -127,14 +127,25 @@ def dia_plan_cached(a: Sprs, max_diags: int = 10**9,
     from .plan import pattern_key
 
     key = (pattern_key(a), int(max_diags), np.dtype(dtype).name)
+    nzv = a.x[: a.nnz()]
+    vfp = hash(np.ascontiguousarray(nzv).tobytes())
     plan = _DIA_PLAN_CACHE.get(key)
     if plan is None:
         if len(_DIA_PLAN_CACHE) > 64:
             _DIA_PLAN_CACHE.clear()
         plan = dia_plan(a, max_diags=max_diags, dtype=dtype)
+        plan.__dict__["_vfp"] = vfp
         _DIA_PLAN_CACHE[key] = plan
         return plan
-    return refresh_dia_values(plan, a.x[: a.nnz()])
+    if plan.__dict__.get("_vfp") == vfp:
+        # unchanged values: reuse the cached plan VERBATIM, keeping its
+        # device-upload cache warm (the O(nnz) refresh + re-upload were
+        # the dominant warm-call costs through the runtime tunnel)
+        return plan
+    plan = refresh_dia_values(plan, nzv)
+    plan.__dict__["_vfp"] = vfp
+    _DIA_PLAN_CACHE[key] = plan
+    return plan
 
 
 def _flat_shift(w, o: int, wr: int):
@@ -258,25 +269,31 @@ def spgemm_dia_fn(pa: DiaPlan, pb: DiaPlan, bn: int):
     """Build the jitted device SpGEMM-as-diagonal-convolution kernel for a
     (pattern(A), pattern(B)) pair. Returns (c_offsets, compute) where
     compute(da [KA, n_el_c-padded], db [KB, n_el_b]) -> c [Kc, n_el_c]."""
+    return _spgemm_dia_compute(pa.offsets, pb.offsets, pa.m,
+                               pb.rr * _LANE, bn)
+
+
+@functools.lru_cache(maxsize=64)
+def _spgemm_dia_compute(a_offsets: tuple, b_offsets: tuple, am: int,
+                        n_el_b: int, bn: int):
     import jax
     import jax.numpy as jnp
 
-    KA, KB = len(pa.offsets), len(pb.offsets)
-    n_el_b = pb.rr * _LANE
-    c_offsets = sorted({o1 + o2 for o1 in pa.offsets for o2 in pb.offsets})
+    KB = len(b_offsets)
+    c_offsets = sorted({o1 + o2 for o1 in a_offsets for o2 in b_offsets})
     c_idx = {o: i for i, o in enumerate(c_offsets)}
-    rr_c = -(-max(pa.m, bn) // _LANE)
+    rr_c = -(-max(am, bn) // _LANE)
     n_el_c = rr_c * _LANE
     # pad B rows so b[i - o1] stays in range for all o1. The slice window is
     # [pad - o1, pad - o1 + n_el_c); with o1 ∈ [-pad, pad] its end can reach
     # 2*pad + n_el_c, and the buffer must also hold db itself (pad + n_el_b)
     # — tall-rectangular A makes n_el_c exceed n_el_b, so size for both.
-    pad = max((abs(o) for o in pa.offsets), default=0) + _LANE
+    pad = max((abs(o) for o in a_offsets), default=0) + _LANE
     wb = pad + max(n_el_b, pad + n_el_c)
     # scatter rows per o1: all KB target diagonals at once (vectorized over
     # o2 so the traced loop is KA iterations, not KA*KB)
     rows_per_o1 = np.asarray(
-        [[c_idx[o1 + o2] for o2 in pb.offsets] for o1 in pa.offsets],
+        [[c_idx[o1 + o2] for o2 in b_offsets] for o1 in a_offsets],
         dtype=np.int32,
     )
 
@@ -285,7 +302,7 @@ def spgemm_dia_fn(pa: DiaPlan, pb: DiaPlan, bn: int):
         dbp = jnp.zeros((KB, wb), db.dtype)
         dbp = jax.lax.dynamic_update_slice(dbp, db, (0, pad))
         c = jnp.zeros((len(c_offsets), n_el_c), da.dtype)
-        for i1, o1 in enumerate(pa.offsets):
+        for i1, o1 in enumerate(a_offsets):
             shifted = jax.lax.dynamic_slice(dbp, (0, pad - o1), (KB, n_el_c))
             c = c.at[rows_per_o1[i1]].add(da[i1, :n_el_c][None, :] * shifted)
         return c
@@ -293,7 +310,89 @@ def spgemm_dia_fn(pa: DiaPlan, pb: DiaPlan, bn: int):
     return c_offsets, compute
 
 
-def spgemm_dia(a: Sprs, b: Sprs, trim: bool = True) -> Sprs:
+def _dia_dev(plan: DiaPlan, n_el_c: int):
+    """Fingerprint-cached device upload of a plan's diagonal values (padded
+    to n_el_c). Through a tunneled runtime the [K, n_el] float upload is
+    the dominant per-call cost of a warm SpGEMM (measured ~700 ms per 27 MB
+    operand at ~40 MB/s); repeated products on unchanged values skip it."""
+    import jax.numpy as jnp
+
+    K = len(plan.offsets)
+    flat = plan.dia.reshape(K, -1)
+    fp = (flat.shape, n_el_c, hash(np.ascontiguousarray(flat).tobytes()))
+    cached = plan.__dict__.get("_dev_vals")
+    if cached is not None and cached[0] == fp:
+        return cached[1]
+    d = jnp.asarray(flat)
+    if flat.shape[1] < n_el_c:
+        d = jnp.pad(d, ((0, 0), (0, n_el_c - flat.shape[1])))
+    plan.__dict__["_dev_vals"] = (fp, d)
+    return d
+
+
+_DIA_CSC_CACHE: dict = {}
+
+
+def _dia_csc_pattern(c_offsets, m: int, nc: int, n_el_c: int):
+    """Structural CSC pattern of a DIA product + flat gather indices into
+    the [Kc, n_el_c] diagonal tensor (host, values-free, cached): entry
+    (row=j+o, col=j) of diagonal o lives at flat index idx(o)*n_el_c+j+o.
+    Same ordering as the materializing path (rows ascending per column =
+    ascending diagonal offset)."""
+    key = (tuple(c_offsets), m, nc, n_el_c)
+    hit = _DIA_CSC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cnt = np.zeros(nc + 1, dtype=np.int64)
+    ranges = []
+    for o in c_offsets:
+        jlo = max(0, -o)
+        jhi = min(nc, m - o)
+        ranges.append((jlo, jhi))
+        if jlo < jhi:
+            cnt[jlo] += 1
+            cnt[jhi] -= 1
+    cnt = np.cumsum(cnt[:-1])
+    Cp = np.zeros(nc + 1, dtype=np.int64)
+    np.cumsum(cnt, out=Cp[1:])
+    nnz = int(Cp[nc])
+    rank = np.zeros(nc, dtype=np.int64)
+    rows = np.empty(nnz, dtype=np.int64)
+    gidx = np.empty(nnz, dtype=np.int64)
+    for idx, o in enumerate(c_offsets):
+        jlo, jhi = ranges[idx]
+        if jlo >= jhi:
+            continue
+        js = np.arange(jlo, jhi)
+        pos = Cp[jlo:jhi] + rank[jlo:jhi]
+        rows[pos] = js + o
+        gidx[pos] = idx * n_el_c + js + o
+        rank[jlo:jhi] += 1
+    if len(_DIA_CSC_CACHE) > 64:
+        _DIA_CSC_CACHE.clear()
+    _DIA_CSC_CACHE[key] = (Cp, rows, gidx)
+    return Cp, rows, gidx
+
+
+@functools.lru_cache(maxsize=64)
+def _spgemm_dia_gather_jit(a_offsets: tuple, b_offsets: tuple, am: int,
+                           n_el_b: int, bn: int):
+    """One fused jit: DIA product + CSC-order value gather (device output)."""
+    import jax
+
+    @jax.jit
+    def run(da, db, gidx):
+        # the compute builder is lru-cached on (offsets, dims)
+        _, compute = _spgemm_dia_compute(a_offsets, b_offsets, am,
+                                         n_el_b, bn)
+        c = compute(da, db)
+        return c.reshape(-1)[gidx]
+
+    return run
+
+
+def spgemm_dia(a: Sprs, b: Sprs, trim: bool = True,
+               materialize: Optional[bool] = None) -> Sprs:
     """C = A @ B in diagonal form: a *convolution of diagonals*.
 
     With A[i,k] on diagonal o1 = i-k and B[k,j] on o2 = k-j, the product
@@ -309,6 +408,16 @@ def spgemm_dia(a: Sprs, b: Sprs, trim: bool = True) -> Sprs:
 
     The result pattern is full diagonals; `trim=True` drops the explicit
     zeros so the CSC output matches `multiply`'s structural behavior.
+
+    `materialize`: None (auto) keeps the OUTPUT DEVICE-RESIDENT on a TPU
+    backend — the CSC pattern is built host-side from structure alone and
+    `C.x` is a device array produced by ONE fused compute+gather launch
+    (through a ~40 MB/s runtime tunnel the value readback alone measured
+    ~700 ms; a device pipeline should never pay it). The device-resident
+    output keeps the full structural diagonals (no value trim — matching
+    the reference `multiply`'s keep-structural-zeros behavior,
+    src/lib.rs:713-748). Pass materialize=True for the host-exact path
+    (CPU default; tests).
     """
     import jax
     import jax.numpy as jnp
@@ -330,6 +439,18 @@ def spgemm_dia(a: Sprs, b: Sprs, trim: bool = True) -> Sprs:
     n_el_b = pb.rr * _LANE
     rr_c = -(-max(m, b.n) // _LANE)
     n_el_c = rr_c * _LANE
+    if materialize is None:
+        materialize = jax.default_backend() != "tpu"
+    if not materialize:
+        da = _dia_dev(pa, n_el_c)
+        db = _dia_dev(pb, n_el_b)
+        Cp, rows, gidx = _dia_csc_pattern(c_offsets, m, b.n, n_el_c)
+        fn = _spgemm_dia_gather_jit(pa.offsets, pb.offsets, pa.m,
+                                    n_el_b, b.n)
+        vals_dev = fn(da, db, jnp.asarray(gidx))
+        out = Sprs(len(rows), m, b.n, Cp.copy(), rows.copy(), None)
+        out.x = vals_dev  # device-resident; np.asarray(out.x) materializes
+        return out
     da = jnp.asarray(pa.dia.reshape(KA, n_el_a))
     db = jnp.asarray(pb.dia.reshape(KB, n_el_b))
     if n_el_a < n_el_c:

@@ -701,6 +701,17 @@ def dist_qrsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 2, *,
         except Exception:
             plan = None
         s._mf_qr_plan = plan
+    # same entry-cap gate as qrsol_vals (advisor r4 medium): the K-batched
+    # whole-tree trace beyond fuse_entry_cap compiles for >30 min through
+    # the remote tunnel — the per-instance tier (chunked qr_mf) takes over
+    if plan is not None and plan != "unset":
+        from ..factor.frontal import fuse_entry_cap
+        from ..factor.frontal_qr import _qr_plan_index_entries
+
+        if not plan.__dict__.setdefault(
+                "_vals_fuse_ok",
+                _qr_plan_index_entries(plan) <= fuse_entry_cap()):
+            plan = None
     if plan is None or plan == "unset" or config.backend == "host":
         out = np.empty((K, n), dtype=np.float64)
         for k in range(K):
@@ -730,8 +741,15 @@ def dist_qrsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 2, *,
     fn = plan.__dict__.get(key)
     if fn is None or fn[1] is not mesh or fn[2] != axis:
         def run(AxL, ZL, devs_in, sdevs_in, tridev):
-            return jax.vmap(lambda ax, z: _qr_vals_one(
-                plan, ls, tp_, devs_in, sdevs_in, tridev, ax, z))(AxL, ZL)
+            # exact f64 per-instance body (dist runs on the virtual CPU
+            # mesh in this environment; the f32+refine tier lives in the
+            # single-process qrsol_vals)
+            def one(ax, z):
+                Y, _ = _qr_vals_one(plan, ls, tp_, devs_in, sdevs_in,
+                                    tridev, ax, z)
+                return Y
+
+            return jax.vmap(one)(AxL, ZL)
 
         jfn = jax.jit(shard_map(
             run, mesh=mesh,

@@ -866,30 +866,139 @@ def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
     return out
 
 
-def _qr_vals_one(plan, ls, tp_, devs_in, sdevs_in, tridev, ax, z):
+def _qr_vals_one(plan, ls, tp_, devs_in, sdevs_in, tridev, ax, z,
+                 fdt=None, refine=None):
     """Per-instance traced body shared by qrsol_vals and
     parallel.dist_qrsol_vals: MF QR fronts on this instance's values, then
     the branch solve (Qᵀz + R sweep for least-squares; Rᵀ sweep + reverse
-    Q-apply for minimum-norm)."""
+    Q-apply for minimum-norm).
+
+    `fdt` (advisor r4: the batched f64 lax.linalg.qr is 56x slower to run
+    / 9x to compile on TPU) factors the fronts in f32 with in-program f64
+    refinement; `refine` = (nref, tpt_, tridev_t, ai, colseg, qd, b64)
+    supplies the CSNE (ls) / residual (mn) machinery. Returns Y [n_or_m, 1]
+    plus the best achieved f64 quality scalar (LS gradient max / residual
+    max; None-equivalent when refine is None — f64 exact path)."""
+    import jax
     import jax.numpy as jnp
 
     from .factor.frontal_qr import (_plan_dims, _q_apply, _qr_front_body,
                                     _qt_apply)
 
-    Rx = jnp.zeros(plan.rnz + 1, dtype=ax.dtype)
-    cbx = jnp.zeros(plan.cb_total + 1, dtype=ax.dtype)
+    axf = ax if fdt is None else ax.astype(fdt)
+    Rx = jnp.zeros(plan.rnz + 1, dtype=axf.dtype)
+    cbx = jnp.zeros(plan.cb_total + 1, dtype=axf.dtype)
     qs = []
     for dev, dims in zip(devs_in, _plan_dims(plan)):
-        Rx, cbx, Q = _qr_front_body(Rx, cbx, ax, dev, dims)
+        Rx, cbx, Q = _qr_front_body(Rx, cbx, axf, dev, dims)
         qs.append(Q)
     qs = tuple(qs)
+    Rv = Rx[: plan.rnz]
+    ft = axf.dtype
+
     if ls:
-        c = _qt_apply(plan, z, qs, sdevs_in)
-        return _tri_sweep_multi(Rx[: plan.rnz], c, *tridev,
-                                tp_.nlev, tp_.emax, tp_.wmax, plan.n, True)
-    y = _tri_sweep_multi(Rx[: plan.rnz], z, *tridev,
-                         tp_.nlev, tp_.emax, tp_.wmax, plan.n, False)
-    return _q_apply(plan, y, qs, sdevs_in)
+        def usolve(c):
+            return _tri_sweep_multi(Rv, c.astype(ft), *tridev,
+                                    tp_.nlev, tp_.emax, tp_.wmax,
+                                    plan.n, True)
+
+        c = _qt_apply(plan, z.astype(ft), qs, sdevs_in)
+        X = usolve(c)
+        if refine is None:
+            return X, jnp.zeros((), jnp.float64)
+        nref, tpt_, tridev_t, ai_, colseg_, qd_ = refine
+        b64 = z[:, 0].astype(jnp.float64)  # ls feeds the unpermuted rhs
+
+        def utsolve(g):
+            return _tri_sweep_multi(Rv, g.astype(ft), *tridev_t,
+                                    tpt_.nlev, tpt_.emax, tpt_.wmax,
+                                    plan.n, False)
+
+        # entries: value k belongs to (row ai_[k], original col
+        # colseg_[k]); xp is permuted — per-entry permuted col = jq[col]
+        jq = jnp.zeros(plan.n, jnp.int32).at[qd_].set(
+            jnp.arange(plan.n, dtype=jnp.int32))
+        acol_lookup = jq[colseg_]
+
+        def grad(xp):  # f64 LS gradient A'(b - A xp), permuted cols
+            r = b64 - jax.ops.segment_sum(
+                ax * xp[acol_lookup], ai_, num_segments=plan.m)
+            gq = jax.ops.segment_sum(ax * r[ai_], colseg_,
+                                     num_segments=plan.n,
+                                     indices_are_sorted=True)
+            return gq[qd_]
+
+        xp = X[:, 0].astype(jnp.float64)
+        g = grad(xp)
+        gmax0 = jnp.max(jnp.abs(g))
+        scale = jnp.maximum(jnp.max(jnp.abs(g)), 1.0)
+
+        def cond(st):
+            _, _, k, gmax, prev = st
+            return (k < nref) & (gmax > 1e-14 * scale) & (gmax < prev)
+
+        def body(st):
+            xp, g, k, gmax, _ = st
+            dx = usolve(utsolve(g[:, None]))[:, 0]
+            x2 = xp + dx.astype(jnp.float64)
+            g2 = grad(x2)
+            g2max = jnp.max(jnp.abs(g2))
+            better = g2max < gmax
+            xp = jnp.where(better, x2, xp)
+            g = jnp.where(better, g2, g)
+            return (xp, g, k + 1, jnp.minimum(g2max, gmax), gmax)
+
+        xp, g, _, gmax, _ = jax.lax.while_loop(
+            cond, body, (xp, g, 0, gmax0, jnp.inf))
+        return xp[:, None], gmax
+
+    def utsolve(c):
+        return _tri_sweep_multi(Rv, c.astype(ft), *tridev,
+                                tp_.nlev, tp_.emax, tp_.wmax,
+                                plan.n, False)
+
+    def S(zq):
+        y = utsolve(zq)
+        return _q_apply(plan, y, qs, sdevs_in)
+
+    X = S(z)
+    if refine is None:
+        return X, jnp.zeros((), jnp.float64)
+    nref, _, _, ati_, acol_, qd_ = refine
+    # at's entries: (row ati_[k] in x-space, original col acol_[k] in
+    # b-space); z = b64[qd_] with qd_ a permutation, so b64 recovers by
+    # scattering z back
+    b64 = (jnp.zeros(plan.n, jnp.float64)
+           .at[qd_].set(z[:, 0].astype(jnp.float64)))
+    x = X[:, 0].astype(jnp.float64)
+
+    def resid(x):
+        y = jax.ops.segment_sum(ax * x[ati_], acol_,
+                                num_segments=plan.n,
+                                indices_are_sorted=True)
+        return b64 - y
+
+    r = resid(x)
+    rmax0 = jnp.max(jnp.abs(r))
+    scale = jnp.maximum(jnp.max(jnp.abs(b64)), 1.0)
+
+    def cond(st):
+        _, _, k, rmax, prev = st
+        return (k < nref) & (rmax > 1e-14 * scale) & (rmax < prev)
+
+    def body(st):
+        x, r, k, rmax, _ = st
+        x2 = x + S(r[qd_][:, None])[:, 0].astype(jnp.float64)
+        r2 = resid(x2)
+        r2max = jnp.max(jnp.abs(r2))
+        better = r2max < rmax
+        x = jnp.where(better, x2, x)
+        r = jnp.where(better, r2, r)
+        return (x, r, k + 1, jnp.minimum(r2max, rmax), rmax)
+
+    x, r, _, rmax, _ = jax.lax.while_loop(
+        cond, body, (x, r, 0, rmax0, jnp.inf))
+    return x[:, None], rmax
 
 
 def _qr_vals_rtri(plan, ls):
@@ -982,17 +1091,47 @@ def qrsol_vals(a: Sprs, Ax, B, order: int = 2, *,
     devs = [b.__dict__["_dev"] for lev in plan.levels for b in lev]
     sdevs = [b.__dict__["_sdev"] for lev in plan.levels for b in lev]
     tp_ = _qr_vals_rtri(plan, ls)
-    fn = plan.__dict__.get("_vals_jit" if ls else "_vals_mn_jit")
-    if fn is None:
+    tridev = _plan_dev(tp_)
+    # f32 fronts + in-program f64 refinement on TPU (advisor r4: batched
+    # f64 lax.linalg.qr is 56x slower to run / 9x to compile); exact f64
+    # on CPU. Gate failures fall back per instance below.
+    from .factor.frontal_qr import _qr_factor_dtype
+
+    fdt = _qr_factor_dtype()
+    nref = 0 if fdt == jnp.float64 else max(0, int(config.qr_refine))
+    refargs = ()
+    tpt_ = None
+    if nref:
+        tpt_ = _qr_vals_rtri(plan, False)  # kind-3 R' sweep (CSNE half)
+        ridx = plan.__dict__.get("_vals_refine_idx")
+        if ridx is None:
+            fa = a if ls else _get_host_a()  # the factored matrix
+            nzf = fa.nnz()
+            qh = (np.asarray(plan.q, np.int64) if plan.q is not None
+                  else np.arange(plan.n, dtype=np.int64))
+            ridx = (jnp.asarray(np.asarray(fa.i[:nzf], np.int32)),
+                    jnp.asarray(col_ids(fa.p, fa.n).astype(np.int32)),
+                    jnp.asarray(qh))
+            plan.__dict__["_vals_refine_idx"] = ridx
+        refargs = (_plan_dev(tpt_),) + ridx
+    cached = plan.__dict__.get("_vals_jit" if ls else "_vals_mn_jit")
+    if cached is not None and cached[1] == (fdt, nref):
+        fn = cached[0]
+    else:
         # index trees flow in as jit ARGUMENTS (compile-size discipline,
         # see frontal.chol_mf); the vmapped body closes over run's args
-        def run(AxK, ZK, devs_in, sdevs_in, tridev):
-            return jax.vmap(lambda ax, z: _qr_vals_one(
-                plan, ls, tp_, devs_in, sdevs_in, tridev, ax, z))(AxK, ZK)
+        def run(AxK, ZK, devs_in, sdevs_in, tridev, *ref_in):
+            def one(ax, z):
+                refine = ((nref, tpt_, ref_in[0], ref_in[1], ref_in[2],
+                           ref_in[3]) if ref_in else None)
+                return _qr_vals_one(plan, ls, tp_, devs_in, sdevs_in,
+                                    tridev, ax, z, fdt=fdt, refine=refine)
+
+            return jax.vmap(one)(AxK, ZK)
 
         fn = jax.jit(run)
-        plan.__dict__["_vals_jit" if ls else "_vals_mn_jit"] = fn
-    tridev = _plan_dev(tp_)
+        plan.__dict__["_vals_jit" if ls else "_vals_mn_jit"] = (
+            fn, (fdt, nref))
     if ls:
         Z = Bm[..., None]  # row perm is embedded in the front plan
     else:
@@ -1000,16 +1139,33 @@ def qrsol_vals(a: Sprs, Ax, B, order: int = 2, *,
         if plan.q is not None:
             bq = Bm[:, np.asarray(plan.q, dtype=np.int64)]
         Z = bq[..., None]
-    Y = np.asarray(fn(jnp.asarray(vmap_ax), jnp.asarray(Z), devs, sdevs,
-                      tridev))[:, :, 0]
+    Yd, quality = fn(jnp.asarray(vmap_ax), jnp.asarray(Z), devs, sdevs,
+                     tridev, *refargs)
+    Y = np.asarray(Yd)[:, :, 0]
     if ls:
         out = np.zeros((K, n), dtype=np.float64)
         out[:, (np.asarray(s.q, np.int64) if s.q is not None
                 else np.arange(n))] = Y  # ipvec(q) per instance
-        return out
-    # _q_apply returns original row order; _writable: never hand the
-    # caller a read-only view of the runtime's cached device buffer
-    return _writable(Y)
+    else:
+        # _q_apply returns original row order; _writable: never hand the
+        # caller a read-only view of the runtime's cached device buffer
+        out = _writable(Y)
+    if nref:
+        # acceptance gate (mirrors qrsol's): instances whose f32+refine
+        # quality misses f64 levels re-solve exactly one-by-one
+        qh = np.asarray(quality, np.float64)
+        if ls:
+            gscale = np.maximum(
+                1.0, np.abs(_host_spmm_t(a, Bm.T)).max(axis=0))
+        else:
+            gscale = np.maximum(1.0, np.abs(Bm).max(axis=1))
+        bad = np.nonzero(qh > 1e-8 * gscale)[0]
+        if len(bad):
+            out = _writable(out)
+            for k in bad:
+                ak = Sprs(nz, m, n, a.p, a.i[:nz], AxK[k])
+                out[k] = qrsol(ak, list(Bm[k]), order, sym=s)
+    return out
 
 
 def _serve_enabled():
@@ -1753,28 +1909,52 @@ def _writeback(x_obj, sol: np.ndarray):
 
 
 def lsolve(l: Sprs, x):
-    """Solve Lx=b, diag first entry per column (reference src/lib.rs:464-471)."""
+    """Solve Lx=b, diag first entry per column (reference src/lib.rs:464-471).
+
+    >>> from rsparse_tpu import Sprs, lsolve
+    >>> l = Sprs.new_from_vec([[2.0, 0.0], [1.0, 4.0]])
+    >>> [round(float(v), 6) for v in lsolve(l, [2.0, 5.0])]
+    [1.0, 1.0]
+    """
     sol = _tri_solve(l, x, 0)
     _writeback(x, sol)
     return sol
 
 
 def ltsolve(l: Sprs, x):
-    """Solve L'x=b (reference src/lib.rs:505-512)."""
+    """Solve L'x=b (reference src/lib.rs:505-512).
+
+    >>> from rsparse_tpu import Sprs, ltsolve
+    >>> l = Sprs.new_from_vec([[2.0, 0.0], [1.0, 4.0]])
+    >>> [round(float(v), 6) for v in ltsolve(l, [3.0, 4.0])]
+    [1.0, 1.0]
+    """
     sol = _tri_solve(l, x, 2)
     _writeback(x, sol)
     return sol
 
 
 def usolve(u: Sprs, x):
-    """Solve Ux=b, diag last entry per column (reference src/lib.rs:1230-1237)."""
+    """Solve Ux=b, diag last entry per column (reference src/lib.rs:1230-1237).
+
+    >>> from rsparse_tpu import Sprs, usolve
+    >>> u = Sprs.new_from_vec([[2.0, 1.0], [0.0, 4.0]])
+    >>> [round(float(v), 6) for v in usolve(u, [3.0, 4.0])]
+    [1.0, 1.0]
+    """
     sol = _tri_solve(u, x, 1)
     _writeback(x, sol)
     return sol
 
 
 def utsolve(u: Sprs, x):
-    """Solve U'x=b (reference src/lib.rs:1271-1278)."""
+    """Solve U'x=b (reference src/lib.rs:1271-1278).
+
+    >>> from rsparse_tpu import Sprs, utsolve
+    >>> u = Sprs.new_from_vec([[2.0, 1.0], [0.0, 4.0]])
+    >>> [round(float(v), 6) for v in utsolve(u, [2.0, 5.0])]
+    [1.0, 1.0]
+    """
     sol = _tri_solve(u, x, 3)
     _writeback(x, sol)
     return sol
@@ -1806,6 +1986,14 @@ def cholsol(a: Sprs, b, order: int = 0, *, sym: Optional[Symb] = None):
     `sym` (TPU extension, not in the reference API): pass a Symb from a
     previous `schol(a, order)` to reuse the ordering, level schedule and
     compiled device plans across solves with the same sparsity pattern.
+
+    >>> from rsparse_tpu import Sprs, cholsol
+    >>> a = Sprs.new_from_vec([[4.0, 1.0], [1.0, 3.0]])
+    >>> b = [6.0, 5.0]
+    >>> [round(float(v), 6) for v in cholsol(a, b, 0)]
+    [1.181818, 1.272727]
+    >>> [round(v, 6) for v in b]  # b overwritten, reference semantics
+    [1.181818, 1.272727]
     """
     from .factor import chol
     from .symbolic import schol
@@ -1879,6 +2067,11 @@ def lusol(a: Sprs, b, order: int = 1, tol: float = 1e-6,
 
     `sym` (TPU extension): reuse a previous `sqr(a, order, False)` analysis
     (and its device plans) across solves with the same sparsity pattern.
+
+    >>> from rsparse_tpu import Sprs, lusol
+    >>> a = Sprs.new_from_vec([[2.0, 1.0], [4.0, 5.0]])
+    >>> [round(float(v), 6) for v in lusol(a, [3.0, 9.0], 1, 1e-6)]
+    [1.0, 1.0]
     """
     from .factor import lu
     from .symbolic import sqr
@@ -2691,6 +2884,12 @@ def qrsol(a: Sprs, b, order: int = 2, *, sym: Optional[Symb] = None):
     analysis across solves with the same sparsity pattern — pass
     `sqr(a, order, True)` when m >= n, or `sqr(transpose(a), order, True)`
     for the underdetermined branch (the analysis is of A' there).
+
+    >>> from rsparse_tpu import Sprs, qrsol
+    >>> a = Sprs.new_from_vec([[1.0, 0.0], [0.0, 2.0], [1.0, 1.0]])
+    >>> x = qrsol(a, [1.0, 4.0, 3.0], 2)  # overdetermined: least squares
+    >>> [round(float(v), 6) for v in x[:2]]
+    [1.0, 2.0]
     """
     from .factor import qr
     from .symbolic import sqr
