@@ -40,7 +40,16 @@ def _stub_all(monkeypatch, fail=()):
 
     monkeypatch.setattr(bench, "_ensure_tpu", lambda jax: None)
     monkeypatch.setattr(bench, "bench_lusol", make("lusol", (0.5, 1.0)))
-    monkeypatch.setattr(bench, "bench_cholsol", make("cholsol", (0.2, 0.4)))
+    monkeypatch.setattr(bench, "bench_cholsol",
+                        make("cholsol", (0.2, 0.3, 0.4)))
+    monkeypatch.setattr(bench, "bench_lusol_vals",
+                        make("lusol_vals", (0.1, 1.0, 8)))
+    monkeypatch.setattr(bench, "bench_qrsol_vals",
+                        make("qrsol_vals", (0.1, 1.0, 8)))
+    monkeypatch.setattr(bench, "bench_dist_halo",
+                        make("dist_halo", (0.01, 1000)))
+    monkeypatch.setattr(bench, "bench_qr_serve",
+                        make("qr_serve", (0.1, 1.0)))
     monkeypatch.setattr(bench, "bench_serve", make("serve", (0.1, 1.0)))
     monkeypatch.setattr(bench, "bench_serve_lu",
                         make("serve_lu", (0.1, 1.0)))
