@@ -450,7 +450,9 @@ def bench_qrsol_vals(rs, native):
 
     m, n, K = 2400, 1800, 8
     rng = np.random.default_rng(21)
-    Ap, Ai, Ax = rand_csc(m, n, 12_000, seed=21)
+    # nnz chosen so the MF plan stays under frontal.fuse_entry_cap() (the
+    # vmapped whole-tree program must compile; ~5M index entries here)
+    Ap, Ai, Ax = rand_csc(m, n, 3_600, seed=21)
     # ensure full column rank: add a strong sparse diagonal
     diag_r = np.arange(n)
     r = np.concatenate([Ai, diag_r])

@@ -123,15 +123,26 @@ class MFPlan:
 
 SMAX_DEFAULT = 64
 # Skeletons larger than this recurse into another multifrontal layer.
-# Tuned round 5: a skeleton left dense costs O(ns) sequential column steps
-# in the tail cholesky (~10 ms at ns=1971 on v5e) plus an O(ns^2) inverse,
-# so large skeletons are worth one more peel — but each recursion layer
-# adds front kernels and solve stages to the program (a depth-5 chain
-# measured 2.5x SLOWER than no recursion at the cholsol_vals bench shape),
-# so the threshold stays high enough that the peel terminates in one or
-# two layers with the remainder dense.
-RECURSE_MIN = 1200
+# Tuned round 5, PER BACKEND: on TPU a skeleton left dense costs O(ns)
+# sequential column steps in the tail cholesky (~10 ms at ns=1971 on v5e)
+# plus an O(ns^2) inverse, so large skeletons are worth one more peel —
+# but each recursion layer adds front kernels and solve stages to the
+# program (a depth-5 chain measured 2.5x SLOWER than no recursion at the
+# cholsol_vals bench shape), so the TPU threshold peels once or twice and
+# leaves the remainder dense. On CPU the dense tail is cheap at any of
+# these sizes while XLA:CPU pays heavily to COMPILE the extra recursion
+# layers (the round-5 suite wall regressed 19m -> 31m from this alone),
+# so the CPU threshold keeps the old value.
+RECURSE_MIN = 3000
+RECURSE_MIN_TPU = 1200
 MAX_DEPTH = 4
+
+
+def _recurse_min() -> int:
+    import jax
+
+    return (RECURSE_MIN_TPU if jax.default_backend() == "tpu"
+            else RECURSE_MIN)
 
 
 def _subtree_sizes(parent: np.ndarray, n: int) -> np.ndarray:
@@ -338,7 +349,7 @@ def build_mf_plan(c: Sprs, s: Symb, smax: int = SMAX_DEFAULT,
     c_skel = Sprs(s_cnnz, ns, ns, sCp, sCi, np.zeros(s_cnnz))
     s_sub = Symb(parent=sparent, cp=scp)
     skel_plan = None
-    if ns > RECURSE_MIN and depth < MAX_DEPTH:
+    if ns > _recurse_min() and depth < MAX_DEPTH:
         skel_plan = build_mf_plan(c_skel, s_sub, smax, depth + 1)
     if skel_plan is None:
         skel_plan = build_chol_plan(c_skel, s_sub)

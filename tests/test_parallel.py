@@ -149,7 +149,7 @@ def test_dist_cholsol_vals_matches_single_chip():
     mesh = par.make_mesh(data=nd)
     from conftest import laplacian_sprs
 
-    a = laplacian_sprs(50)  # n=2500 >= mf_min_n: exercises the vmapped MF
+    a = laplacian_sprs(40)  # n=1600 >= mf_min_n: exercises the vmapped MF (smallest MF-tier size, suite-wall discipline)
     n = a.n
     nz = a.nnz()
     diag = a.i[:nz] == np.repeat(np.arange(n), np.diff(a.p))
@@ -174,7 +174,7 @@ def test_dist_lusol_vals_matches_single_chip():
 
     nd = len(jax.devices())
     mesh = par.make_mesh(data=nd)
-    a0 = laplacian_sprs(50)
+    a0 = laplacian_sprs(40)
     n, nz = a0.n, a0.nnz()
     rng = np.random.default_rng(8)
     ax = a0.x[:nz] + 0.3 * rng.standard_normal(nz)  # nonsymmetric
@@ -202,11 +202,14 @@ def test_dist_qrsol_vals_both_branches(monkeypatch):
     nd = len(jax.devices())
     mesh = par.make_mesh(data=nd)
     rng = np.random.default_rng(9)
-    m, n = 900, 700
+    # smallest MF-tier shape with a modest fill plan: this test compiles
+    # FOUR vmapped whole-tree programs, and compile time scales with the
+    # plan size (900x700/nnz 9000 measured 458s of suite wall)
+    m, n = 720, 620
     d = np.zeros((m, n))
     for i in range(n):
         d[i, i] = 5.0 + rng.random()
-    nz_extra = 9000
+    nz_extra = 4000
     ii = rng.integers(0, m, nz_extra)
     jj = rng.integers(0, n, nz_extra)
     d[ii, jj] += rng.standard_normal(nz_extra)

@@ -121,7 +121,7 @@ def _laplacian(g):
     return laplacian_sprs(g)
 
 
-def _vals_fixture(g=50, K=5):
+def _vals_fixture(g=40, K=5):  # n=1600: smallest MF-tier size
     a = _laplacian(g)
     nz = a.nnz()
     diag = a.i[:nz] == np.repeat(np.arange(a.n), np.diff(a.p))
@@ -285,7 +285,7 @@ def test_qrsol_vals_small_fallback_and_validation():
 # ---------------------------------------------------------------------------
 
 
-def _lu_vals_fixture(g=50, K=5, seed=0):
+def _lu_vals_fixture(g=40, K=5, seed=0):  # n=1600 (suite wall)
     a0 = _laplacian(g)
     n, nz = a0.n, a0.nnz()
     rng = np.random.default_rng(seed)
