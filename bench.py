@@ -1079,6 +1079,40 @@ def main():
 
     skipped = []
 
+    def _recover_backend(reason):
+        """A TPU worker kernel fault leaves THIS process's PJRT client dead:
+        every later device call fails UNAVAILABLE even though the worker
+        itself restarts within ~a minute. Drop the dead client and re-init
+        so one faulting section costs one metric, not every one after it
+        (each bench section builds its own matrices/plans, so no stale
+        device buffers are reused across the reset)."""
+        print(f"# backend lost ({reason[:120]}); re-initializing",
+              file=sys.stderr, flush=True)
+        for attempt in range(4):
+            if _remaining() < 30:
+                return False
+            try:
+                from jax._src import xla_bridge as _xb
+
+                _xb._clear_backends()
+            except Exception:
+                pass
+            try:
+                jax.clear_caches()
+            except Exception:
+                pass
+            time.sleep(15 * (attempt + 1))
+            try:
+                if any(d.platform != "cpu" for d in jax.devices()):
+                    # prove the client is live end-to-end
+                    jax.device_get(jax.jit(lambda x: x + 1.0)(
+                        jnp.float32(1.0)))
+                    print("# backend recovered", file=sys.stderr, flush=True)
+                    return True
+            except Exception:
+                continue
+        return False
+
     def run(name, fn):
         """One fault-isolated, TIME-BOUNDED bench section; snapshot-emit
         afterwards so a late crash/hang can only cost later metrics (the
@@ -1107,6 +1141,10 @@ def main():
             failures.append(name)
             extra[name + "_error"] = f"{type(e).__name__}: {e}"[:300]
             traceback.print_exc(file=sys.stderr)
+            msg = str(e)
+            if "UNAVAILABLE" in msg or "crashed or restarted" in msg:
+                signal.alarm(0)
+                _recover_backend(msg)
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, prev)
@@ -1193,7 +1231,6 @@ def main():
     run("serve_lu", sec_serve_lu)
     run("cholsol_vals", sec_cholsol_vals)
     run("lusol_vals", sec_lusol_vals)
-    run("qrsol_vals", sec_qrsol_vals)
     run("dist_halo", sec_dist_halo)
 
     # f32 kernel paths (Mosaic index plumbing wants i32)
@@ -1252,6 +1289,10 @@ def main():
     jax.config.update("jax_enable_x64", True)
     run("qrsol", sec_qrsol)
     run("qr_serve", sec_qr_serve)
+    # qrsol_vals VERY last: its vmapped whole-tree program is the one that
+    # has kernel-faulted the v5e worker (see _recover_backend) — if it
+    # faults again it can only cost itself.
+    run("qrsol_vals", sec_qrsol_vals)
 
     if failures:
         extra["failed_sections"] = ",".join(failures)
