@@ -117,6 +117,9 @@ class QRMFPlan:
     cb_total: int  # flat CB value-buffer length
     cbz_total: int  # flat CB rhs-buffer length
     q: Optional[np.ndarray]  # composed column order (committed to s.q)
+    # pre-commit ordering — the one s.parent/pinv/cp/m2/lnz/unz describe;
+    # REQUIRED by the host-exact fallbacks (see build_qr_mf_plan tail)
+    q_host: Optional[np.ndarray] = None
 
 
 def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 256) -> Optional[QRMFPlan]:
@@ -412,9 +415,18 @@ def build_qr_mf_plan(a: Sprs, s: Symb, smax: int = 256) -> Optional[QRMFPlan]:
         level_buckets.append(buckets)
     if qt is not None:
         s.q = qt  # commit composed ordering
-    return QRMFPlan(m=m, n=n, rnz=rnz, Rp=Rp, Ri=Ri, levels=level_buckets,
+    plan = QRMFPlan(m=m, n=n, rnz=rnz, Rp=Rp, Ri=Ri, levels=level_buckets,
                     cb_total=int(cb_off[nf]), cbz_total=int(cbz_off[nf]),
                     q=qt)
+    # The commit above rebinds s.q to the postorder-composed ordering, but
+    # s.parent/pinv/cp/m2/lnz/unz still describe the PRE-commit q0 — the
+    # host engine's qr walks out of bounds (segfault) if fed the mixed
+    # tuple. Keep q0 on the plan so the host-exact fallbacks
+    # (solve._qr_ls_host_exact/_qr_mn_host_exact) can use the consistent
+    # set. (Round-5 fix: the acceptance-gate fallback crashed the process
+    # on TPU, where the f32 tree trips the gate and CPU's f64 never does.)
+    plan.q_host = q0
+    return plan
 
 
 def _expand(cumv, T):

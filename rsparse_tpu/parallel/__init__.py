@@ -712,6 +712,10 @@ def dist_qrsol_vals(a: Sprs, Ax, B, mesh: Mesh, order: int = 2, *,
                 "_vals_fuse_ok",
                 _qr_plan_index_entries(plan) <= fuse_entry_cap()):
             plan = None
+    from ..solve import _qr_vals_batched_ok
+
+    if plan is not None and plan != "unset" and not _qr_vals_batched_ok():
+        plan = None  # TPU v5e worker fault — see _qr_vals_batched_ok
     if plan is None or plan == "unset" or config.backend == "host":
         out = np.empty((K, n), dtype=np.float64)
         for k in range(K):

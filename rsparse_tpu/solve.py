@@ -866,6 +866,25 @@ def lusol_vals(a: Sprs, Ax, B, order: int = 1, tol: float = 1e-6, *,
     return out
 
 
+def _qr_vals_batched_ok() -> bool:
+    """Whether the K-batched (vmapped whole-tree) QR vals program may run
+    on the current backend.
+
+    On TPU v5e the compiled vmapped program kernel-faults the worker at
+    execution time (round-5 bisect: fronts-only, fronts+Qᵀ-apply, and
+    fronts+R-sweep all pass; EVERY refinement-bearing form — f64
+    segment-sum grad, padded-einsum grad, single step without any loop,
+    and a two-program split with no lax.linalg.qr in the refining
+    program — reproducibly crashes the worker, taking the whole process's
+    PJRT client with it). Until the platform bug is fixed, TPU routes the
+    per-instance tier (the chunked qr_mf path `qrsol` itself uses, which
+    is stable at every bench scale); CPU keeps the vmapped program.
+    """
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
 def _qr_vals_one(plan, ls, tp_, devs_in, sdevs_in, tridev, ax, z,
                  fdt=None, refine=None):
     """Per-instance traced body shared by qrsol_vals and
@@ -1079,6 +1098,8 @@ def qrsol_vals(a: Sprs, Ax, B, order: int = 2, *,
                 "_vals_fuse_ok",
                 _qr_plan_index_entries(plan) <= fuse_entry_cap()):
             plan = None
+    if plan is not None and plan != "unset" and not _qr_vals_batched_ok():
+        plan = None
     if plan is None or plan == "unset" or config.backend == "host":
         # per-instance reference-shaped solves (small / inapplicable tier)
         out = np.empty((K, n), dtype=np.float64)
@@ -2811,14 +2832,21 @@ def _chol_mf_refine(a: Sprs, s, mfp, B: np.ndarray, X: np.ndarray,
     return Xm[:, 0] if single else Xm
 
 
-def _qr_ls_host_exact(a: Sprs, s: Symb, bb: np.ndarray) -> np.ndarray:
+def _qr_ls_host_exact(a: Sprs, s: Symb, bb: np.ndarray,
+                      q=None) -> np.ndarray:
     """Reference-exact least-squares solve through the host engine
     (qr + ipvec/happly/usolve apply, src/lib.rs:931-942): the fallback when
     the f32 MF tree's CSNE refinement cannot reach f64 optimality. Returns
-    x in PERMUTED column order (caller applies s.q)."""
+    x in PERMUTED column order (caller applies the SAME `q`).
+
+    `q`: the column ordering consistent with s.parent/pinv/cp/m2 — after an
+    MF plan build this is plan.q_host (s.q holds the postorder-composed
+    ordering the host symbolic fields do NOT describe; mixing them
+    overruns the C++ engine's buffers)."""
     nz = a.nnz()
+    qh = s.q if q is None else q
     Vp, Vi, Vx, Rp, Ri, Rx, beta = native.qr_numeric(
-        a.m, a.n, a.p, a.i[:nz], a.x[:nz], s.q, s.parent, s.pinv,
+        a.m, a.n, a.p, a.i[:nz], a.x[:nz], qh, s.parent, s.pinv,
         s.m2, s.lnz + 8, s.unz + 8)
     xx = np.zeros(s.m2)
     xx[np.asarray(s.pinv[: a.m], np.int64)] = bb[: a.m]
@@ -2826,18 +2854,20 @@ def _qr_ls_host_exact(a: Sprs, s: Symb, bb: np.ndarray) -> np.ndarray:
     return xx[: a.n]
 
 
-def _qr_mn_host_exact(at: Sprs, s: Symb, bb: np.ndarray) -> np.ndarray:
+def _qr_mn_host_exact(at: Sprs, s: Symb, bb: np.ndarray,
+                      q=None) -> np.ndarray:
     """Reference-exact minimum-norm solve through the host engine (QR of
     A', pvec/utsolve/happly-reversed/pvec — src/lib.rs:943-955): the
     fallback when the f32 MF refinement cannot reach f64 residuals.
-    Returns x [n] in original row order."""
+    Returns x [n] in original row order. `q`: see _qr_ls_host_exact."""
     nz = at.nnz()
+    qh = s.q if q is None else q
     Vp, Vi, Vx, Rp, Ri, Rx, beta = native.qr_numeric(
-        at.m, at.n, at.p, at.i[:nz], at.x[:nz], s.q, s.parent, s.pinv,
+        at.m, at.n, at.p, at.i[:nz], at.x[:nz], qh, s.parent, s.pinv,
         s.m2, s.lnz + 8, s.unz + 8)
     m, n = at.n, at.m  # original dims of A
     x = np.zeros(s.m2)
-    ops.pvec(m, s.q, bb, x)
+    ops.pvec(m, qh, bb, x)
     xv = np.ascontiguousarray(x[:m])
     native.utsolve_host(m, Rp, Ri, Rx, xv)
     x[:m] = xv
@@ -2903,6 +2933,7 @@ def qrsol(a: Sprs, b, order: int = 2, *, sym: Optional[Symb] = None):
             from .factor.frontal_qr import qrsol_mf_ls
 
             xp, gmax = qrsol_mf_ls(a, s, mfq, bb[:m])
+            qcols = s.q  # == mfq.q, the composed ordering xp lives in
             if gmax is not None:
                 # acceptance gate on the f64 LS-optimality gradient the
                 # program already computed (advisor r4 high): the f32
@@ -2913,9 +2944,13 @@ def qrsol(a: Sprs, b, order: int = 2, *, sym: Optional[Symb] = None):
                 g0 = _host_spmm_t(a, bb[:m, None])
                 gscale = max(1.0, float(np.abs(g0).max()))
                 if gmax > 1e-8 * gscale:
-                    xp = _qr_ls_host_exact(a, s, bb[:m])
+                    # the host engine needs the PRE-commit ordering (the
+                    # tuple s.parent/pinv/... describe); its xp comes back
+                    # in that same ordering
+                    qcols = getattr(mfq, "q_host", s.q)
+                    xp = _qr_ls_host_exact(a, s, bb[:m], q=qcols)
             out = np.zeros(n, dtype=np.float64)
-            ops.ipvec(n, s.q, xp, out)
+            ops.ipvec(n, qcols, xp, out)
             _writeback(b, out)
             return out
         nm = qr(a, s)
@@ -2938,7 +2973,8 @@ def qrsol(a: Sprs, b, order: int = 2, *, sym: Optional[Symb] = None):
                 # same acceptance gate, on the consistent-system residual
                 scale = max(1.0, float(np.abs(bb[:m]).max()))
                 if rmax > 1e-8 * scale:
-                    out = _qr_mn_host_exact(at, s, bb[:m])
+                    out = _qr_mn_host_exact(at, s, bb[:m],
+                                            q=getattr(mfq, "q_host", s.q))
             _writeback(b, out)
             return out
         nm = qr(at, s)

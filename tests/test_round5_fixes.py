@@ -126,3 +126,36 @@ def test_cache_guard_resolved_backend(monkeypatch):
     cfgmod.maybe_enable_compilation_cache()
     assert jax.config.jax_compilation_cache_dir == before
     assert cfgmod._cache_state["done"]  # decided once, stays decided
+
+
+def test_qr_host_exact_after_plan_commit(monkeypatch):
+    """The host-exact QR fallbacks must use the PRE-commit column ordering.
+
+    build_qr_mf_plan commits the postorder-composed ordering into s.q but
+    leaves s.parent/pinv/cp/m2/lnz/unz describing the original q0 — feeding
+    the mixed tuple to the C++ engine overran its buffers (segfault on TPU,
+    where the f32 acceptance gate actually trips; round-5 bisect). The plan
+    now carries q_host and solve._qr_{ls,mn}_host_exact take it."""
+    from rsparse_tpu.solve import _qr_ls_host_exact
+
+    monkeypatch.setattr(config, "mf_min_n", 50)
+    a = _mk_dup_ls(120, 90, 400, 3)  # seed 3: postorder != identity
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(120)
+    s = rs.sqr(a, 2, True)
+    from rsparse_tpu.factor.frontal_qr import build_qr_mf_plan
+
+    plan = build_qr_mf_plan(a, s)  # commits s.q
+    assert plan is not None
+    s._mf_qr_plan = plan
+    # the commit actually changed the ordering in this fixture —
+    # otherwise the test exercises nothing
+    assert not np.array_equal(np.asarray(plan.q),
+                              np.asarray(plan.q_host))
+    xp = _qr_ls_host_exact(a, s, b, q=plan.q_host)
+    out = np.zeros(90)
+    qh = (np.asarray(plan.q_host, np.int64) if plan.q_host is not None
+          else np.arange(90))
+    out[qh] = xp  # ipvec with the SAME ordering the host engine used
+    want = np.linalg.lstsq(_dense_sum(a), b, rcond=None)[0]
+    assert np.abs(out - want).max() < 1e-8
